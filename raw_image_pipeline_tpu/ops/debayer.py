@@ -1,0 +1,219 @@
+"""Bayer demosaic.
+
+Two algorithms, matching the reference's two backends:
+
+  * ``bilinear`` — bit-exact replica of ``cv::demosaicing(..., COLOR_Bayer*2BGR)``,
+    the reference CPU path (reference: modules/debayer.cpp:45-79). Interior
+    pixels use 2/4-neighbor averages with OpenCV's rounding
+    ((a+b+1)>>1, (sum+2)>>2); the first/last output row and column replicate
+    the adjacent computed row/column (verified empirically against cv2).
+  * ``mht`` — Malvar-He-Cutler 5x5 linear demosaic, the algorithm of the
+    reference GPU path (``cv::cuda::demosaicing(..., *_MHT)``,
+    modules/debayer.cpp:89-120). Implemented from the MHC'04 paper
+    coefficients (alpha=1/2, beta=5/8, gamma=3/4) with round-half-up
+    descaling; exact bit parity with the CUDA kernel is not asserted (no
+    CUDA reference available on TPU hosts).
+
+Phase convention: OpenCV's COLOR_BayerXX2BGR codes define the CFA phase from
+pixel (1,1), so e.g. ``bayer_bggr8`` (ROS: top-left pixel Blue) maps to a
+layout whose top-left sample is *Red* in OpenCV's interpretation. We key
+everything on the empirically-verified per-code phase table below.
+
+The reference CPU path additionally swaps R<->B after demosaicing
+("Fix because apparently the CPU demosaicing produces RGB",
+debayer.cpp:49-52); that swap is applied by the pipeline module (not here)
+when replicating reference CPU output.
+
+Everything is pure elementwise arithmetic on shifted views — it compiles to
+fused VPU code on TPU with a single pass over HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from raw_image_pipeline_tpu.ops.common import avg2, avg4, saturate_u8
+
+# OpenCV code -> channel at (row%2, col%2) == (0,0),(0,1),(1,0),(1,1).
+# Empirically verified against cv2.demosaicing (see tests/test_debayer.py).
+_CV_PHASE = {
+    "bg": "rggb",  # COLOR_BayerBG2BGR: (0,0)=R (0,1)=G (1,0)=G (1,1)=B
+    "gb": "grbg",  # COLOR_BayerGB2BGR
+    "rg": "bggr",  # COLOR_BayerRG2BGR
+    "gr": "gbrg",  # COLOR_BayerGR2BGR
+}
+
+# ROS encoding -> OpenCV Bayer code used by the reference (debayer.cpp:45-79).
+ENCODING_TO_CV_CODE = {
+    "bayer_bggr8": "bg",
+    "bayer_gbrg8": "gb",
+    "bayer_grbg8": "gr",
+    "bayer_rggb8": "rg",
+}
+
+BAYER_ENCODINGS = tuple(ENCODING_TO_CV_CODE)
+
+
+def phase_for_encoding(encoding: str) -> str:
+    """Physical CFA phase (channel of sample (0,0) etc.) for a ROS encoding,
+    under OpenCV's interpretation of the matching COLOR_Bayer code."""
+    return _CV_PHASE[ENCODING_TO_CV_CODE[encoding]]
+
+
+def _site_masks(h: int, w: int, phase: str):
+    """Boolean masks (h, w) for R / G-in-R-row / G-in-B-row / B sample sites."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) & 1
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) & 1
+    # even-even, even-odd, odd-even, odd-odd selectors
+    ee = (row == 0) & (col == 0)
+    eo = (row == 0) & (col == 1)
+    oe = (row == 1) & (col == 0)
+    oo = (row == 1) & (col == 1)
+    cells = {"rggb": (ee, eo, oe, oo), "grbg": (eo, ee, oo, oe),
+             "gbrg": (oe, oo, ee, eo), "bggr": (oo, oe, eo, ee)}
+    r_site, g_r_row, g_b_row, b_site = cells[phase]
+    return r_site, g_r_row, g_b_row, b_site
+
+
+def _shifts(x):
+    """Zero-padded 1-px and diagonal shifted views of [..., H, W]."""
+    p = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)])
+    n = p[..., :-2, 1:-1]
+    s = p[..., 2:, 1:-1]
+    w = p[..., 1:-1, :-2]
+    e = p[..., 1:-1, 2:]
+    nw = p[..., :-2, :-2]
+    ne = p[..., :-2, 2:]
+    sw = p[..., 2:, :-2]
+    se = p[..., 2:, 2:]
+    return n, s, w, e, nw, ne, sw, se
+
+
+def _replicate_border(img):
+    """Replace output border rows/cols with the adjacent computed ones,
+    as cv::demosaicing does (verified empirically)."""
+    img = img.at[..., 0, :, :].set(img[..., 1, :, :])
+    img = img.at[..., -1, :, :].set(img[..., -2, :, :])
+    img = img.at[..., :, 0, :].set(img[..., :, 1, :])
+    img = img.at[..., :, -1, :].set(img[..., :, -2, :])
+    return img
+
+
+@partial(jax.jit, static_argnames=("phase",))
+def debayer_bilinear(bayer: jax.Array, phase: str) -> jax.Array:
+    """Bilinear demosaic, bit-exact vs cv::demosaicing.
+
+    Args:
+        bayer: [..., H, W] uint8 raw frame(s).
+        phase: physical CFA phase of sample (0,0): one of
+            'rggb' | 'grbg' | 'gbrg' | 'bggr' (OpenCV interpretation —
+            use phase_for_encoding() to map a ROS encoding).
+    Returns:
+        [..., H, W, 3] uint8 BGR (same channel order cv2 produces).
+    """
+    h, w = bayer.shape[-2], bayer.shape[-1]
+    x = bayer.astype(jnp.int16)
+    n, s, wv, e, nw, ne, sw, se = _shifts(x)
+
+    v2 = avg2(n, s)
+    h2 = avg2(wv, e)
+    n4 = avg4(n, s, wv, e)
+    d4 = avg4(nw, ne, sw, se)
+
+    r_site, g_r_row, g_b_row, b_site = _site_masks(h, w, phase)
+    g_site = g_r_row | g_b_row
+
+    g = jnp.where(g_site, x, n4)
+    r = jnp.where(r_site, x, jnp.where(g_r_row, h2, jnp.where(g_b_row, v2, d4)))
+    b = jnp.where(b_site, x, jnp.where(g_b_row, h2, jnp.where(g_r_row, v2, d4)))
+
+    out = jnp.stack([b, g, r], axis=-1)
+    out = _replicate_border(out)
+    return saturate_u8(out)
+
+
+@partial(jax.jit, static_argnames=("phase",))
+def debayer_mht(bayer: jax.Array, phase: str) -> jax.Array:
+    """Malvar-He-Cutler 5x5 linear demosaic (reference GPU algorithm).
+
+    Integer arithmetic: filters scaled by 8, round-half-up descale by 3,
+    clamp to [0,255]. Border: 2-px zero padding then border replication of
+    the outermost computed ring (approximation of the CUDA kernel's
+    border handling; interior is the exact MHC'04 stencil).
+    """
+    h, w = bayer.shape[-2], bayer.shape[-1]
+    x = bayer.astype(jnp.int32)
+    p = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(2, 2), (2, 2)])
+
+    def sh(dy, dx):
+        return p[..., 2 + dy: 2 + dy + h, 2 + dx: 2 + dx + w]
+
+    c = sh(0, 0)
+    n1, s1, w1, e1 = sh(-1, 0), sh(1, 0), sh(0, -1), sh(0, 1)
+    n2, s2, w2, e2 = sh(-2, 0), sh(2, 0), sh(0, -2), sh(0, 2)
+    nw, ne_, sw, se_ = sh(-1, -1), sh(-1, 1), sh(1, -1), sh(1, 1)
+
+    cross4 = n1 + s1 + w1 + e1          # 4 edge neighbors
+    diag4 = nw + ne_ + sw + se_         # 4 corner neighbors
+    axial4 = n2 + s2 + w2 + e2          # 4 two-step axial
+    lr2 = w2 + e2
+    ud2 = n2 + s2
+
+    # MHC'04 filters (x8):
+    # G at R/B site:          (4c + 2*cross4 - axial4) / 8
+    g_at_rb = 4 * c + 2 * cross4 - axial4
+    # R/B at G site, same row: (5c + 4*(w1+e1)) ... canonical x8 form:
+    #   8*[ 1/2 c? ] — use the standard integer stencil:
+    #   value = (5c*8/8...) Use paper coefficients scaled by 8:
+    #   R at G in R-row: 4c + 4*(w1+e1) + 0.5*(axial?) — implemented below
+    # R at green, R-row horizontal neighbors:
+    #   8*R = 5c*?  — canonical integer MHC (as used in most GPU impls):
+    rb_at_g_h = 5 * c + 4 * (w1 + e1) - (nw + ne_ + sw + se_) - (w2 + e2) + ((n2 + s2) >> 1)
+    rb_at_g_v = 5 * c + 4 * (n1 + s1) - (nw + ne_ + sw + se_) - (n2 + s2) + ((w2 + e2) >> 1)
+    # R at B site / B at R site (diagonal): 6c + 2*diag4 - 3/2*axial4
+    rb_at_br = 6 * c + 2 * diag4 - ((3 * axial4) >> 1)
+
+    def desc8(v):
+        return (v + 4) >> 3
+
+    r_site, g_r_row, g_b_row, b_site = _site_masks(h, w, phase)
+    g_site = g_r_row | g_b_row
+
+    g = jnp.where(g_site, c, desc8(g_at_rb))
+    r = jnp.where(
+        r_site, c,
+        jnp.where(g_r_row, desc8(rb_at_g_h),
+                  jnp.where(g_b_row, desc8(rb_at_g_v), desc8(rb_at_br))),
+    )
+    b = jnp.where(
+        b_site, c,
+        jnp.where(g_b_row, desc8(rb_at_g_h),
+                  jnp.where(g_r_row, desc8(rb_at_g_v), desc8(rb_at_br))),
+    )
+
+    out = jnp.stack([b, g, r], axis=-1)
+    # 2-px border ring: rows/cols 0 and 1 take the first fully-computed
+    # row/col (index 2), and symmetrically at the far edge.
+    out = out.at[..., 0, :, :].set(out[..., 2, :, :])
+    out = out.at[..., 1, :, :].set(out[..., 2, :, :])
+    out = out.at[..., -1, :, :].set(out[..., -3, :, :])
+    out = out.at[..., -2, :, :].set(out[..., -3, :, :])
+    out = out.at[..., :, 0, :].set(out[..., :, 2, :])
+    out = out.at[..., :, 1, :].set(out[..., :, 2, :])
+    out = out.at[..., :, -1, :].set(out[..., :, -3, :])
+    out = out.at[..., :, -2, :].set(out[..., :, -3, :])
+    return saturate_u8(out)
+
+
+def debayer(bayer: jax.Array, encoding: str, algorithm: str = "bilinear") -> jax.Array:
+    """Demosaic by ROS encoding name, in cv2 channel conventions (BGR out,
+    before the reference's CPU R<->B swap quirk)."""
+    phase = phase_for_encoding(encoding)
+    if algorithm == "bilinear":
+        return debayer_bilinear(bayer, phase)
+    if algorithm == "mht":
+        return debayer_mht(bayer, phase)
+    raise ValueError(f"Unknown demosaic algorithm: {algorithm}")
