@@ -1,0 +1,45 @@
+"""Polynomial vignetting correction (reference: modules/vignetting_correction.cpp).
+
+Mask: k(r) = a2*r^2 + a4*r^4 with r the distance from the image center,
+normalized by its max, scaled, plus one (vignetting_correction.cpp:32-63).
+Apply: BGR -> Lab, L(float32) * mask, saturate back to u8, Lab -> BGR
+(vignetting_correction.cpp:68-93).
+
+The reference recomputes the mask every frame for non-square images due to
+a swapped cache-guard (line 33, SURVEY.md §8.5) — output-invariant, so we
+fix it: the mask is precomputed once on host (float64, like the reference's
+double loop) and closed over as a constant.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raw_image_pipeline_tpu.ops.colorspace import bgr_to_lab_u8, lab_to_bgr_u8
+from raw_image_pipeline_tpu.ops.common import round_u8
+
+
+def build_vignetting_mask(height: int, width: int, scale: float, a2: float, a4: float) -> np.ndarray:
+    """[H, W] float32 multiplier mask (host-side, init time)."""
+    cy = height / 2.0
+    cx = width / 2.0
+    y = np.arange(height, dtype=np.float64)[:, None]
+    x = np.arange(width, dtype=np.float64)[None, :]
+    r2 = (y - cy) ** 2 + (x - cx) ** 2
+    k = r2 * a2 + r2 * r2 * a4
+    mx = k.max()
+    if mx > 0:
+        k = k / mx
+    k = k * scale + 1.0
+    return k.astype(np.float32)
+
+
+@jax.jit
+def correct(image: jax.Array, mask: jax.Array) -> jax.Array:
+    """image: [..., H, W, 3] uint8 BGR; mask: [H, W] float32."""
+    lab = bgr_to_lab_u8(image)
+    L = lab[..., 0].astype(jnp.float32) * mask.astype(jnp.float32)
+    lab = lab.at[..., 0].set(round_u8(L))
+    return lab_to_bgr_u8(lab)

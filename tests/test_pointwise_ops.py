@@ -1,0 +1,221 @@
+"""Parity tests for flip, gamma LUT, color calibration, colorspaces,
+color enhancer, vignetting, and statistical white balance."""
+
+import cv2
+import numpy as np
+import pytest
+
+from raw_image_pipeline_tpu.ops import colorspace as cs
+from raw_image_pipeline_tpu.ops.color_calibration import color_correct
+from raw_image_pipeline_tpu.ops.color_enhancer import enhance
+from raw_image_pipeline_tpu.ops.flip import flip
+from raw_image_pipeline_tpu.ops.gamma import apply_lut, build_gamma_lut, gamma_correct
+from raw_image_pipeline_tpu.ops.vignetting import build_vignetting_mask, correct
+from raw_image_pipeline_tpu.ops.white_balance import (
+    balance_white_grey_world,
+    balance_white_pca,
+    balance_white_simple,
+)
+
+
+def rand_img(shape=(37, 53, 3), seed=0):
+    return np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+
+
+# ---------------------------------------------------------------- flip
+
+@pytest.mark.parametrize("angle", [0, 90, 180, 270, 45])
+def test_flip_matches_cv2(angle):
+    img = rand_img()
+    if angle == 90:
+        ref = cv2.flip(cv2.transpose(img), 1)
+    elif angle == 180:
+        ref = cv2.flip(img, -1)
+    elif angle == 270:
+        ref = cv2.flip(cv2.transpose(img), 0)
+    else:
+        ref = img
+    out = np.asarray(flip(img, angle))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_flip_batched_and_bayer():
+    imgs = rand_img((4, 16, 24, 3), 1)
+    out = np.asarray(flip(imgs, 90))
+    assert out.shape == (4, 24, 16, 3)
+    np.testing.assert_array_equal(out[2], cv2.flip(cv2.transpose(imgs[2]), 1))
+    bayer = rand_img((8, 10), 2)
+    out1 = np.asarray(flip(bayer, 270, spatial_axes=(-2, -1)))
+    np.testing.assert_array_equal(out1, cv2.flip(cv2.transpose(bayer), 0))
+
+
+# ---------------------------------------------------------------- gamma
+
+@pytest.mark.parametrize("k", [0.8, 0.9, 1.0, 1.8])
+def test_gamma_lut_matches_cv2(k):
+    # reference LUT build: gamma_correction.cpp:35-49
+    lut = np.array(
+        [min(255, max(0, round(float(np.float32((i / 255.0) ** k)) * 255.0))) for i in range(256)],
+        dtype=np.uint8,
+    )
+    ours = build_gamma_lut(k)
+    np.testing.assert_array_equal(ours, lut)
+    img = rand_img(seed=3)
+    ref = cv2.LUT(img, ours)
+    out = np.asarray(gamma_correct(img, k))
+    np.testing.assert_array_equal(out, ref)
+
+
+# ---------------------------------------------------------------- color calibration
+
+def test_color_calibration_matches_reference_math():
+    img = rand_img(seed=4)
+    M = np.array([[2.4276948, 0.21479778, -0.30818],
+                  [0.09277014, 1.1962607, -0.09772757],
+                  [-0.24436986, -0.22239459, 2.099912]])
+    bias = np.array([1.5, -2.0, 3.0])
+    # reference math (color_calibration.cpp:91-104): f32 pixels @ M^T + bias,
+    # convertTo(CV_8U) = rint + saturate
+    flat = img.reshape(-1, 3).astype(np.float32)
+    ref = flat @ M.T.astype(np.float32)
+    ref = ref.reshape(img.shape) + bias.astype(np.float32)
+    ref = np.clip(np.rint(ref), 0, 255).astype(np.uint8)
+    out = np.asarray(color_correct(img, M.astype(np.float32), bias.astype(np.float32)))
+    np.testing.assert_array_equal(out, ref)
+
+
+# ---------------------------------------------------------------- colorspaces
+
+def test_bgr2hsv_bit_exact():
+    img = rand_img((211, 173, 3), 5)
+    np.testing.assert_array_equal(np.asarray(cs.bgr_to_hsv_u8(img)),
+                                  cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
+
+
+def test_hsv2bgr_within_1lsb():
+    hsv = rand_img((301, 173, 3), 6)
+    ref = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+    out = np.asarray(cs.hsv_to_bgr_u8(hsv))
+    d = np.abs(out.astype(int) - ref.astype(int))
+    # cv2's SIMD path (wide images) and scalar path (tail) themselves
+    # disagree at 1 LSB; we match the scalar/float semantics and assert the
+    # 1-LSB envelope against whichever path cv2 took.
+    assert d.max() <= 1
+    # single-column images take cv2's scalar path -> near-exact
+    col = rand_img((5000, 1, 3), 61)
+    ref_col = cv2.cvtColor(col, cv2.COLOR_HSV2BGR)
+    out_col = np.asarray(cs.hsv_to_bgr_u8(col))
+    dcol = np.abs(out_col.astype(int) - ref_col.astype(int))
+    assert dcol.max() <= 1 and (dcol > 0).mean() < 1e-3
+
+
+def test_bgr2gray_f32_exact():
+    img = rand_img((64, 64, 3), 7).astype(np.float32)
+    ref = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+    out = np.asarray(cs.bgr_to_gray_f32(img))
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=0)
+
+
+def test_lab_roundtrip_tolerance():
+    img = rand_img((128, 96, 3), 8)
+    lab_ref = cv2.cvtColor(img, cv2.COLOR_BGR2Lab)
+    lab = np.asarray(cs.bgr_to_lab_u8(img))
+    d = np.abs(lab.astype(int) - lab_ref.astype(int))
+    assert d.max() <= 2, f"Lab fwd diff {d.max()}"
+    back_ref = cv2.cvtColor(lab_ref, cv2.COLOR_Lab2BGR)
+    back = np.asarray(cs.lab_to_bgr_u8(lab_ref))
+    d2 = np.abs(back.astype(int) - back_ref.astype(int))
+    assert d2.max() <= 2, f"Lab inv diff {d2.max()}"
+
+
+# ---------------------------------------------------------------- color enhancer
+
+def test_color_enhancer_vs_cv2_composition():
+    """Golden = the reference composition done with cv2 primitives
+    (color_enhancer.cpp:38-47)."""
+    img = rand_img((97, 61, 3), 9)
+    gains = (1.0, 1.5, 1.0)
+    hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+    hsv = cv2.multiply(hsv, gains + (0,))
+    ref = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+    out = np.asarray(enhance(img, np.array(gains, np.float32)))
+    d = np.abs(out.astype(int) - ref.astype(int))
+    assert d.max() <= 1
+
+
+# ---------------------------------------------------------------- vignetting
+
+def test_vignetting_vs_cv2_composition():
+    """Golden = reference composition with cv2 (vignetting_correction.cpp:68-93)
+    on the real Alphasense fixture. Our Lab u8 is within 2 LSB of cv2's
+    bit-exact LUT path (see ops/colorspace.py), which bounds the end-to-end
+    error on natural images to a few LSB; random-noise colors can amplify
+    more through the Lab->BGR gamut edges. TODO(parity): replicate cv2's
+    trilinear-LUT Lab to reach <=1 LSB here."""
+    img = cv2.imread("tests/fixtures/alphasense.png")
+    h, w = img.shape[:2]
+    scale, a2, a4 = 1.5, 1e-3, 1e-6
+    mask = build_vignetting_mask(h, w, scale, a2, a4)
+    lab = cv2.cvtColor(img, cv2.COLOR_BGR2Lab)
+    L = lab[..., 0].astype(np.float32) * mask
+    lab2 = lab.copy()
+    lab2[..., 0] = np.clip(np.rint(L), 0, 255).astype(np.uint8)
+    ref = cv2.cvtColor(lab2, cv2.COLOR_Lab2BGR)
+    out = np.asarray(correct(img, mask))
+    d = np.abs(out.astype(int) - ref.astype(int))
+    assert d.mean() < 0.5 and (d > 4).mean() < 1e-3, (d.max(), d.mean())
+
+
+def test_vignetting_mask_properties():
+    mask = build_vignetting_mask(540, 720, 1.5, 1e-3, 1e-6)
+    assert mask.shape == (540, 720)
+    # center ~1, corners = 1 + scale
+    assert abs(mask[270, 360] - 1.0) < 1e-3
+    assert abs(mask[0, 0] - 2.5) < 1e-6
+
+
+# ---------------------------------------------------------------- white balance
+
+def test_pca_wb_matches_float64_reference():
+    """Replicate the reference arithmetic in float64 numpy as the golden."""
+    img = rand_img((41, 67, 3), 11)
+    b = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    r = img[..., 2].astype(np.float64)
+
+    def gold(c):
+        c2 = c * c
+        A = np.array([[c2.sum(), c.sum()], [c2.max(), c.max()]])
+        y = np.array([g.sum(), g.max()])
+        x = np.linalg.solve(A, y)
+        out = x[0] * c2 + x[1] * c
+        return np.clip(np.rint(np.minimum(out, 255.0)), 0, 255).astype(np.uint8)
+
+    ref = np.stack([gold(b), img[..., 1], gold(r)], axis=-1)
+    out = np.asarray(balance_white_pca(img))
+    d = np.abs(out.astype(int) - ref.astype(int))
+    assert d.max() <= 1, d.max()
+
+
+def test_simple_wb_stretch():
+    img = rand_img((50, 50, 3), 12)
+    out = np.asarray(balance_white_simple(img, 20.0))
+    assert out.shape == img.shape
+    # p=0: lo=min, hi=max per channel -> full stretch
+    out0 = np.asarray(balance_white_simple(img, 0.0))
+    for c in range(3):
+        ch = img[..., c].astype(np.float32)
+        lo, hi = ch.min(), ch.max()
+        ref = np.clip(np.rint((ch - lo) * (255.0 / (hi - lo))), 0, 255)
+        np.testing.assert_array_equal(out0[..., c], ref.astype(np.uint8))
+
+
+def test_grey_world_wb():
+    img = rand_img((50, 50, 3), 13)
+    out = np.asarray(balance_white_grey_world(img, 1.0))
+    # with thresh=1.0 every pixel is included: channel means should equalize
+    means = out.reshape(-1, 3).mean(0)
+    assert means.std() < 2.0
+    # gray image is a fixed point
+    gray = np.full((20, 20, 3), 77, np.uint8)
+    np.testing.assert_array_equal(np.asarray(balance_white_grey_world(gray, 1.0)), gray)
