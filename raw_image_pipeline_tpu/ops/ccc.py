@@ -1,0 +1,234 @@
+"""FFCC convolutional color constancy white balance.
+
+TPU-native implementation of the reference CCC library
+(raw_image_pipeline_white_balance/src/.../convolutional_color_constancy.cpp),
+after Barron, "Fast Fourier Color Constancy", CVPR 2017.
+
+Per frame (reference balanceWhite, ccc.cpp:91-113):
+  1. resize to 360x270 (INTER_LINEAR), convert to float32;
+  2. log-chroma histogram (256x256) over non-saturated, finite pixels
+     (ccc.cpp:210-271): u = round((log g - log r - uv0)/bin),
+     v = round((log g - log b - uv0)/bin), clamped to [0,255], each
+     contributing weight 1/(rows*cols) — normalized by *all* pixels, not
+     just surviving ones (reference quirk, ccc.cpp:235-236);
+  3. response = IDFT(DFT(hist) * DFT(filter) + DFT(bias)), row-major argmax
+     (ccc.cpp:273-298). cv::dft's CCS packing + mulSpectrums is
+     mathematically identical to the complex rfft2 product; the inverse's
+     missing 1/N scale does not move the argmax;
+  4. optional Kalman smoothing of the (x=col, y=row) peak (ccc.cpp:300-340);
+  5. gains: Lu = x*bin + uv0, Lv = y*bin + uv0, gain_r = exp(Lu),
+     gain_g = 1, gain_b = exp(Lv), normalized by the min gain; the
+     z=sqrt(...) normalizer is computed then overwritten to 1.0 in the
+     reference and therefore omitted here (ccc.cpp:362-367);
+  6. apply per-channel gains with saturating round-half-even multiply.
+
+Orientation subtlety replicated exactly: hist is indexed [u, v] (row = u =
+green/red axis), the model filter/bias are transposed at load
+(ccc.cpp:131-132 — handled in models/ccc_model.py), and the *column*
+coordinate of the argmax drives gain_r while the *row* drives gain_b
+(ccc.cpp:359-370).
+
+On TPU the histogram is a scatter-add over 65536 bins, the FFTs are XLA
+rfft2/irfft2 on 256x256, and everything is batched over frames. Under
+spatial sharding the histogram becomes a partial-histogram psum (GSPMD
+inserts the collective).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raw_image_pipeline_tpu.models.ccc_model import CCCModel
+from raw_image_pipeline_tpu.ops.colorspace import bgr_to_gray_f32
+from raw_image_pipeline_tpu.ops.common import round_u8
+from raw_image_pipeline_tpu.ops.resize import resize_linear_u8
+
+# Reference constants (ccc.cpp:19-33)
+SMALL_W, SMALL_H = 360, 270
+BIN_SIZE = 1.0 / 64.0
+UV0 = -1.421875
+HIST_N = 256
+
+
+def _round_half_away(x):
+    """C++ round(): half away from zero."""
+    return jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5))
+
+
+@partial(jax.jit, static_argnames=("bright_thr", "dark_thr"))
+def log_chroma_histogram(
+    image: jax.Array, bright_thr: float = 0.9, dark_thr: float = 0.1,
+    uv0: float = UV0,
+) -> jax.Array:
+    """[..., H, W, 3] uint8 BGR -> [..., 256, 256] float32 histogram.
+
+    The image should already be the 360x270 working resize; H*W defines the
+    reference's pixel_weight normalization.
+    """
+    f = image.astype(jnp.float32)
+    gray = bgr_to_gray_f32(f)
+    include = (gray <= 255.0 * bright_thr) & (gray > 255.0 * dark_thr)
+
+    logs = jnp.log(f)
+    log_b, log_g, log_r = logs[..., 0], logs[..., 1], logs[..., 2]
+    finite = jnp.isfinite(log_r) & jnp.isfinite(log_g) & jnp.isfinite(log_b)
+    valid = include & finite
+
+    u = _round_half_away((log_g - log_r - uv0) / BIN_SIZE)
+    v = _round_half_away((log_g - log_b - uv0) / BIN_SIZE)
+    # non-finite logs produce nan bin coords; zero them before int cast
+    # (they carry zero weight anyway)
+    u = jnp.nan_to_num(u, nan=0.0, posinf=255.0, neginf=0.0)
+    v = jnp.nan_to_num(v, nan=0.0, posinf=255.0, neginf=0.0)
+    u = jnp.clip(u, 0, HIST_N - 1).astype(jnp.int32)
+    v = jnp.clip(v, 0, HIST_N - 1).astype(jnp.int32)
+
+    h, w = image.shape[-3], image.shape[-2]
+    pixel_weight = jnp.float32(1.0 / (h * w))
+    weights = jnp.where(valid, pixel_weight, 0.0)
+
+    bins = u * HIST_N + v
+
+    def hist1(bins_flat, w_flat):
+        return jnp.zeros((HIST_N * HIST_N,), jnp.float32).at[bins_flat].add(w_flat)
+
+    lead = image.shape[:-3]
+    bins_flat = bins.reshape((-1, h * w))
+    w_flat = weights.reshape((-1, h * w))
+    hist = jax.vmap(hist1)(bins_flat, w_flat)
+    return hist.reshape(lead + (HIST_N, HIST_N))
+
+
+@jax.jit
+def ccc_response(hist: jax.Array, filt_fft: jax.Array, bias_fft: jax.Array) -> jax.Array:
+    """response = irfft2(rfft2(hist) * filt_fft + bias_fft), [..., 256, 256]."""
+    hist_fft = jnp.fft.rfft2(hist)
+    resp_fft = hist_fft * filt_fft + bias_fft
+    return jnp.fft.irfft2(resp_fft, s=(HIST_N, HIST_N)).astype(jnp.float32)
+
+
+@jax.jit
+def response_argmax(response: jax.Array) -> jax.Array:
+    """Row-major first-occurrence argmax -> [..., 2] int32 (x=col, y=row),
+    matching cv::minMaxLoc's maxLoc Point convention (ccc.cpp:295)."""
+    lead = response.shape[:-2]
+    flat = response.reshape(lead + (-1,))
+    idx = jnp.argmax(flat, axis=-1).astype(jnp.int32)
+    row = idx // HIST_N
+    col = idx % HIST_N
+    return jnp.stack([col, row], axis=-1)
+
+
+def gains_from_uv(uv_pos: jax.Array, uv0: float = UV0) -> jax.Array:
+    """uv_pos [..., 2] int (x, y) -> [..., 3] float32 BGR gains
+    (ccc.cpp:342-381; z forced to 1, min-normalized)."""
+    x = uv_pos[..., 0].astype(jnp.float32)
+    y = uv_pos[..., 1].astype(jnp.float32)
+    Lu = x * BIN_SIZE + uv0
+    Lv = y * BIN_SIZE + uv0
+    gain_r = jnp.exp(Lu)
+    gain_b = jnp.exp(Lv)
+    gain_g = jnp.ones_like(gain_r)
+    gains = jnp.stack([gain_b, gain_g, gain_r], axis=-1)
+    factor = jnp.min(gains, axis=-1, keepdims=True)
+    return gains / factor
+
+
+@jax.jit
+def apply_gains(image: jax.Array, gains: jax.Array) -> jax.Array:
+    """cv::multiply(image, Scalar(gain_b, gain_g, gain_r)) — saturating
+    round-half-even (verified exact vs cv2)."""
+    return round_u8(image.astype(jnp.float32) * gains[..., None, None, :])
+
+
+# ---------------------------------------------------------------------------
+# Kalman temporal consistency (ccc.cpp:180-206, 300-340)
+# ---------------------------------------------------------------------------
+#
+# cv::KalmanFilter(2, 2, 0) with F = I, Q = I, H = I, R = 10*I and
+# errorCovPost initialized to 0. With everything isotropic the covariance
+# stays p*I for a scalar p, so the exact recurrence is:
+#     predict: p' = p + 1
+#     gain:    k  = p' / (p' + 10)
+#     update:  x  = x + k*(z - x);  p = (1 - k) * p'
+# First measurement initializes x directly (statePost = z) and leaves p = 0.
+# The reference then truncates the float estimate into the integer cv::Point
+# (ccc.cpp:336-337) before computing gains — replicated via trunc().
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class KalmanState:
+    """Per-camera illuminant track. Fields broadcast over leading axes."""
+
+    x: jax.Array  # [..., 2] float32 state (col, row)
+    p: jax.Array  # [...] float32 isotropic covariance
+    initialized: jax.Array  # [...] bool
+
+
+def kalman_init(batch_shape=(), uv_init=(HIST_N // 2, HIST_N // 2)) -> KalmanState:
+    """Fresh state (first_frame_=true). uv_init mirrors the reference's
+    statePre/statePost prior of (height/2, width/2) (ccc.cpp:185-188)."""
+    x = jnp.broadcast_to(jnp.asarray(uv_init, jnp.float32), batch_shape + (2,))
+    return KalmanState(
+        x=x,
+        p=jnp.zeros(batch_shape, jnp.float32),
+        initialized=jnp.zeros(batch_shape, bool),
+    )
+
+
+@jax.jit
+def kalman_update(state: KalmanState, meas: jax.Array) -> Tuple[KalmanState, jax.Array]:
+    """One filter step. meas: [..., 2] int32 measured peak (x, y).
+    Returns (new_state, filtered uv [..., 2] int32)."""
+    z = meas.astype(jnp.float32)
+    p_pred = state.p + 1.0
+    k = p_pred / (p_pred + 10.0)
+    x_upd = state.x + k[..., None] * (z - state.x)
+    p_upd = (1.0 - k) * p_pred
+
+    init = state.initialized
+    new_x = jnp.where(init[..., None], x_upd, z)
+    new_p = jnp.where(init, p_upd, state.p)
+    new_state = KalmanState(
+        x=new_x, p=new_p, initialized=jnp.ones_like(init) | init
+    )
+    uv = jnp.trunc(new_x).astype(jnp.int32)
+    return new_state, uv
+
+
+# ---------------------------------------------------------------------------
+# Full per-frame CCC
+# ---------------------------------------------------------------------------
+
+
+def ccc_balance_white(
+    image: jax.Array,
+    model: CCCModel,
+    bright_thr: float = 0.9,
+    dark_thr: float = 0.1,
+    state: Optional[KalmanState] = None,
+    uv0: float = UV0,
+):
+    """Full CCC white balance on [..., H, W, 3] uint8 BGR frames.
+
+    Returns (balanced image, new_state). With state=None (temporal
+    consistency off) the raw per-frame argmax drives the gains and
+    new_state is None.
+    """
+    small = resize_linear_u8(image, SMALL_H, SMALL_W)
+    hist = log_chroma_histogram(small, bright_thr, dark_thr, uv0)
+    resp = ccc_response(
+        hist, jnp.asarray(model.filt_fft), jnp.asarray(model.bias_fft)
+    )
+    uv = response_argmax(resp)
+    if state is not None:
+        state, uv = kalman_update(state, uv)
+    gains = gains_from_uv(uv, uv0)
+    return apply_gains(image, gains), state

@@ -1,0 +1,62 @@
+"""cv2-compatible INTER_LINEAR resize for uint8 images.
+
+Replicates OpenCV's fixed-point bilinear resize (imgproc resize.cpp):
+source coordinate fx = (dst_x + 0.5) * src/dst - 0.5, 11-bit quantized
+weights (INTER_RESIZE_COEF_SCALE = 2048), horizontal then vertical pass,
+final descale (x + 2^21) >> 22 with saturation.
+
+Parity (measured vs cv2 5.0, tests/test_ccc.py):
+  * bit-exact for integer scale ratios — in particular the CCC working
+    resizes 720x540 -> 360x270 and 1440x1080 -> 360x270
+    (reference: convolutional_color_constancy.cpp:22,97);
+  * within 1 LSB (~11% of pixels) for non-integer ratios, where OpenCV's
+    float coefficient rounding differs.
+
+Index/weight tables are built on host at trace time (static shapes), so the
+device code is two gathers + integer multiply-adds that XLA fuses.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _tables(src: int, dst: int):
+    scale = src / dst
+    x = np.arange(dst)
+    fx = (x + 0.5) * scale - 0.5
+    sx = np.floor(fx).astype(np.int64)
+    f = fx - sx
+    # edge clamping: left edge -> weight fully on pixel 0; right edge ->
+    # weight fully on the last pixel
+    f = np.where(sx < 0, 0.0, f)
+    f = np.where(sx >= src - 1, 1.0 if src > 1 else 0.0, f)
+    sx = np.clip(sx, 0, max(src - 2, 0))
+    a1 = np.rint(f * 2048.0).astype(np.int32)
+    a0 = 2048 - a1
+    return sx, a0, a1
+
+
+@partial(jax.jit, static_argnames=("dst_h", "dst_w"))
+def resize_linear_u8(image: jax.Array, dst_h: int, dst_w: int) -> jax.Array:
+    """image: [..., H, W, C] uint8 -> [..., dst_h, dst_w, C] uint8."""
+    src_h, src_w = image.shape[-3], image.shape[-2]
+    sx, a0, a1 = _tables(src_w, dst_w)
+    sy, b0, b1 = _tables(src_h, dst_h)
+
+    t = image.astype(jnp.int32)
+    # horizontal pass: scale 2^11
+    h = (
+        jnp.take(t, jnp.asarray(sx), axis=-2) * jnp.asarray(a0)[:, None]
+        + jnp.take(t, jnp.asarray(sx + 1), axis=-2) * jnp.asarray(a1)[:, None]
+    )
+    # vertical pass: scale 2^22, descale with rounding
+    v = (
+        jnp.take(h, jnp.asarray(sy), axis=-3) * jnp.asarray(b0)[:, None, None]
+        + jnp.take(h, jnp.asarray(sy + 1), axis=-3) * jnp.asarray(b1)[:, None, None]
+    )
+    return jnp.clip((v + (1 << 21)) >> 22, 0, 255).astype(jnp.uint8)

@@ -1,0 +1,155 @@
+"""CCC (FFCC) white-balance parity tests.
+
+Goldens are built by replicating the reference C++ math with cv2 + numpy
+primitives (resize, dft, minMaxLoc), mirroring
+convolutional_color_constancy.cpp stage by stage.
+"""
+
+import cv2
+import numpy as np
+import pytest
+
+from raw_image_pipeline_tpu.config import DEFAULT_CCC_MODEL_PATH
+from raw_image_pipeline_tpu.models.ccc_model import load_ccc_model
+from raw_image_pipeline_tpu.ops import ccc
+from raw_image_pipeline_tpu.ops.resize import resize_linear_u8
+
+MODEL = load_ccc_model(DEFAULT_CCC_MODEL_PATH)
+
+
+def cv_reference_ccc(img, bright=0.9, dark=0.1):
+    """Reference balanceWhite math via cv2 primitives (ccc.cpp:91-113)."""
+    small = cv2.resize(img, (ccc.SMALL_W, ccc.SMALL_H))
+    f = small.astype(np.float32)
+    gray = cv2.cvtColor(f, cv2.COLOR_BGR2GRAY)
+    include = (gray <= 255.0 * bright) & (gray > 255.0 * dark)
+    with np.errstate(divide="ignore"):
+        logs = np.log(f)
+    finite = np.isfinite(logs).all(-1)
+    valid = include & finite
+    u = np.round((logs[..., 1] - logs[..., 2] - ccc.UV0) / ccc.BIN_SIZE)
+    v = np.round((logs[..., 1] - logs[..., 0] - ccc.UV0) / ccc.BIN_SIZE)
+    u = np.clip(np.nan_to_num(u), 0, 255).astype(np.int64)
+    v = np.clip(np.nan_to_num(v), 0, 255).astype(np.int64)
+    hist = np.zeros((256, 256), np.float32)
+    w = np.float32(1.0 / (small.shape[0] * small.shape[1]))
+    np.add.at(hist, (u[valid], v[valid]), w)
+
+    hist_fft = cv2.dft(hist, flags=0, nonzeroRows=256)
+    filt_fft = cv2.dft(MODEL.filt, flags=0, nonzeroRows=256)
+    bias_fft = cv2.dft(MODEL.bias, flags=0, nonzeroRows=256)
+    resp_fft = cv2.mulSpectrums(filt_fft, hist_fft, flags=0)
+    resp_fft = cv2.add(resp_fft, bias_fft)
+    resp = cv2.dft(resp_fft, flags=cv2.DFT_INVERSE | cv2.DFT_REAL_OUTPUT, nonzeroRows=256)
+    _, _, _, max_loc = cv2.minMaxLoc(resp)
+    x, y = max_loc
+    Lu = x * ccc.BIN_SIZE + ccc.UV0
+    Lv = y * ccc.BIN_SIZE + ccc.UV0
+    gain_r, gain_g, gain_b = np.exp(Lu), 1.0, np.exp(Lv)
+    factor = min(gain_r, gain_g, gain_b)
+    gains = (gain_b / factor, gain_g / factor, gain_r / factor)
+    out = cv2.multiply(img, gains + (0,))
+    return out, (x, y), hist, resp
+
+
+@pytest.fixture(scope="module")
+def alphasense():
+    return cv2.imread("tests/fixtures/alphasense.png")
+
+
+def test_resize_parity_native_sizes(alphasense):
+    ref = cv2.resize(alphasense, (360, 270))
+    out = np.asarray(resize_linear_u8(alphasense, 270, 360))
+    np.testing.assert_array_equal(out, ref)
+    big = cv2.resize(alphasense, (1440, 1080))
+    np.testing.assert_array_equal(
+        np.asarray(resize_linear_u8(big, 270, 360)), cv2.resize(big, (360, 270))
+    )
+
+
+def test_histogram_parity(alphasense):
+    _, _, hist_ref, _ = cv_reference_ccc(alphasense)
+    small = np.asarray(resize_linear_u8(alphasense, 270, 360))
+    hist = np.asarray(ccc.log_chroma_histogram(small, 0.9, 0.1))
+    np.testing.assert_allclose(hist, hist_ref, atol=1e-6)
+    # reference quirk: hist sums to (valid pixels)/(all pixels) <= 1
+    assert 0.2 < hist.sum() <= 1.0 + 1e-6
+
+
+def test_response_and_argmax_parity(alphasense):
+    _, (x_ref, y_ref), hist_ref, resp_ref = cv_reference_ccc(alphasense)
+    resp = np.asarray(
+        ccc.ccc_response(hist_ref, MODEL.filt_fft, MODEL.bias_fft)
+    )
+    # cv2's unnormalized inverse DFT = N * normalized irfft2
+    n = 256 * 256
+    np.testing.assert_allclose(resp * n, resp_ref, rtol=1e-3, atol=2e-2)
+    uv = np.asarray(ccc.response_argmax(resp[None]))[0]
+    assert (uv[0], uv[1]) == (x_ref, y_ref)
+
+
+def test_full_ccc_parity(alphasense):
+    ref, (x_ref, y_ref), _, _ = cv_reference_ccc(alphasense)
+    out, _ = ccc.ccc_balance_white(alphasense[None], MODEL)
+    d = np.abs(np.asarray(out)[0].astype(int) - ref.astype(int))
+    assert d.max() <= 1, d.max()
+    assert (d > 0).mean() < 1e-3
+
+
+def test_full_ccc_batched(alphasense):
+    flipped = alphasense[::-1].copy()
+    batch = np.stack([alphasense, flipped])
+    out, _ = ccc.ccc_balance_white(batch, MODEL)
+    solo0, _ = ccc.ccc_balance_white(alphasense[None], MODEL)
+    solo1, _ = ccc.ccc_balance_white(flipped[None], MODEL)
+    np.testing.assert_array_equal(np.asarray(out)[0], np.asarray(solo0)[0])
+    np.testing.assert_array_equal(np.asarray(out)[1], np.asarray(solo1)[0])
+
+
+def cv_kalman_sequence(measurements):
+    """cv::KalmanFilter(2,2,0) recurrence as configured at ccc.cpp:180-206,
+    with the first-frame reset logic of ccc.cpp:300-340."""
+    x = np.array([128.0, 128.0], np.float32)
+    P = np.zeros((2, 2), np.float32)
+    F = np.eye(2, dtype=np.float32)
+    Q = np.eye(2, dtype=np.float32)
+    R = 10 * np.eye(2, dtype=np.float32)
+    first = True
+    out = []
+    for z in measurements:
+        z = np.asarray(z, np.float32)
+        if first:
+            x = z.copy()
+            first = False
+        else:
+            P1 = F @ P @ F.T + Q
+            K = P1 @ np.linalg.inv(P1 + R)
+            x = x + K @ (z - x)
+            P = (np.eye(2, dtype=np.float32) - K) @ P1
+        out.append((int(x[0]), int(x[1])))  # cv::Point float->int truncation
+    return out
+
+
+def test_kalman_matches_cv_recurrence():
+    rng = np.random.default_rng(0)
+    meas = rng.integers(100, 160, (20, 2))
+    ref = cv_kalman_sequence(meas)
+    state = ccc.kalman_init(())
+    got = []
+    for z in meas:
+        state, uv = ccc.kalman_update(state, np.asarray(z, np.int32))
+        got.append(tuple(np.asarray(uv)))
+    assert got == ref
+
+
+def test_kalman_reset():
+    state = ccc.kalman_init(())
+    state, uv1 = ccc.kalman_update(state, np.array([10, 20], np.int32))
+    assert tuple(np.asarray(uv1)) == (10, 20)
+    state, uv2 = ccc.kalman_update(state, np.array([30, 40], np.int32))
+    # smoothed: between old and new
+    assert 10 < int(np.asarray(uv2)[0]) < 30
+    # reset = fresh init (resetTemporalConsistency, ccc.cpp:433-435)
+    state = ccc.kalman_init(())
+    state, uv3 = ccc.kalman_update(state, np.array([50, 60], np.int32))
+    assert tuple(np.asarray(uv3)) == (50, 60)
