@@ -1,24 +1,310 @@
-"""Functional ISP pipeline (placeholder — filled in as ops land).
+"""Functional ISP pipeline assembly.
 
-The full chain mirrors raw_image_pipeline.hpp:143-172:
-debayer -> flip -> white_balance -> color_calibration -> gamma ->
-vignetting -> color_enhancer -> undistortion.
+The reference chains 8 modules in fixed order on one cv::Mat, materializing
+a full frame between stages (raw_image_pipeline.hpp:143-172). Here the whole
+chain is one pure function over a batch of frames, traced once per
+(batch, height, width, encoding) and jitted so XLA fuses the pointwise
+stages into a minimal number of HBM passes:
+
+    isp = build_pipeline(config)
+    out, state = isp(params, batch, state)
+
+Stage enables/methods are trace-time constants from PipelineConfig;
+numeric parameters (matrices, LUTs, masks, undistortion maps, CCC model
+FFTs) live in IspParams, a pytree argument — so recalibration never
+recompiles.
+
+Reference-behavior notes (SURVEY.md §8):
+  * debayer ignores its `enabled` flag (debayer.hpp:38-40) — the per-call
+    encoding decides, replicated here;
+  * the reference CPU demosaic output is channel-swapped by a post-hoc
+    RGB2BGR "fix" (debayer.cpp:49-52); we apply the same swap when
+    algorithm == "bilinear" (the CPU-parity algorithm) and not for "mht"
+    (the GPU-parity algorithm), matching each backend's observable output;
+  * white balance is skipped for non-3-channel images
+    (white_balance.hpp:50-52) — ours always runs post-debayer on BGR;
+  * color-enhancer gains map straight onto (H, S, V); the reference's
+    setter cross-wiring (color_enhancer.cpp:23-33) swaps hue/value gains on
+    the ROS path and leaves them uninitialized on the YAML path — undefined
+    behavior we do not replicate (all shipped configs use hue=value=1.0,
+    where the difference vanishes);
+  * undistortion runs only when a calibration is available and the model
+    string is not "none" (undistortion.hpp:76-78); like the reference it
+    always applies the fisheye model (SURVEY.md §8.8).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Any, Optional
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raw_image_pipeline_tpu.config import PipelineConfig
+from raw_image_pipeline_tpu.models.ccc_model import CCCModel, load_ccc_model
+from raw_image_pipeline_tpu.ops import ccc as ccc_ops
+from raw_image_pipeline_tpu.ops.color_calibration import color_correct
+from raw_image_pipeline_tpu.ops.color_enhancer import enhance
+from raw_image_pipeline_tpu.ops.debayer import (
+    BAYER_ENCODINGS,
+    debayer,
+)
+from raw_image_pipeline_tpu.ops.flip import flip as flip_op
+from raw_image_pipeline_tpu.ops.gamma import apply_lut, build_gamma_lut
+from raw_image_pipeline_tpu.ops.undistortion import (
+    estimate_new_camera_matrix,
+    init_undistort_rectify_map,
+    remap_bilinear_u8,
+)
+from raw_image_pipeline_tpu.ops.vignetting import build_vignetting_mask
+from raw_image_pipeline_tpu.ops.vignetting import correct as vignetting_correct
+from raw_image_pipeline_tpu.ops.white_balance import (
+    balance_white_grey_world,
+    balance_white_learned,
+    balance_white_pca,
+    balance_white_simple,
+)
+
+_UNSUPPORTED_BAYER = (
+    "bayer_bggr16", "bayer_gbrg16", "bayer_grbg16", "bayer_rggb16",
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class IspParams:
+    """Numeric pipeline parameters (device pytree — changing values does not
+    retrace)."""
+
+    color_matrix: jax.Array  # [3,3] f32
+    color_bias: jax.Array  # [3] f32
+    gamma_lut: jax.Array  # [256] u8
+    enhancer_gains: jax.Array  # [3] f32 (H,S,V)
+    vignetting_mask: jax.Array  # [H,W] f32 (post-flip dims) or scalar 0 if unused
+    map_x: jax.Array  # [Ho,Wo] f32 undistortion maps (or scalar 0 if unused)
+    map_y: jax.Array
+    ccc_filt_fft: jax.Array  # [256,129] c64 (or scalar 0)
+    ccc_bias_fft: jax.Array
+
+
+# Cross-frame state: the CCC Kalman illuminant track.
+IspState = ccc_ops.KalmanState
+
+
+def init_state(batch_shape: Tuple[int, ...] = ()) -> IspState:
+    """Fresh temporal-consistency state (equivalent to the reference's
+    first_frame_=true after resetTemporalConsistency, ccc.cpp:433-435)."""
+    return ccc_ops.kalman_init(batch_shape)
 
 
 @dataclass
-class IspState:
-    """Cross-frame state (CCC Kalman illuminant track) as an explicit pytree."""
+class BuiltPipeline:
+    """A pipeline traced for one static signature."""
 
-    kalman_initialized: Any = None
-    kalman_x: Any = None
-    kalman_P: Any = None
+    config: PipelineConfig
+    params: IspParams
+    ccc_model: Optional[CCCModel]
+    fn: Any  # jitted (params, pixels, state) -> (outputs dict, state)
+
+    def __call__(self, pixels, state=None):
+        return self.fn(self.params, pixels, state)
 
 
-def build_pipeline(config, batch_shape=None):
-    raise NotImplementedError("pipeline assembly lands after the ops")
+def _post_flip_shape(h: int, w: int, angle: int) -> Tuple[int, int]:
+    return (w, h) if angle in (90, 270) else (h, w)
+
+
+def make_params(
+    config: PipelineConfig,
+    frame_hw: Tuple[int, int],
+    ccc_model: Optional[CCCModel] = None,
+) -> IspParams:
+    """Build the numeric parameter pytree for frames of shape frame_hw
+    (pre-flip, i.e. sensor orientation)."""
+    zero = jnp.zeros((), jnp.float32)
+
+    h, w = frame_hw
+    fh, fw = _post_flip_shape(h, w, config.flip.angle if config.flip.enabled else 0)
+
+    if config.vignetting_correction.enabled:
+        mask = jnp.asarray(
+            build_vignetting_mask(
+                fh, fw,
+                config.vignetting_correction.scale,
+                config.vignetting_correction.a2,
+                config.vignetting_correction.a4,
+            )
+        )
+    else:
+        mask = zero
+
+    calib = config.calibration
+    run_undist = (
+        config.undistortion.enabled
+        and calib.calibration_available
+        and calib.distortion_model != "none"
+    )
+    if run_undist:
+        size = (calib.image_width, calib.image_height)
+        new_K = estimate_new_camera_matrix(
+            calib.K(), calib.D(), size, calib.R(),
+            config.undistortion.balance, size, config.undistortion.fov_scale,
+        )
+        mx, my = init_undistort_rectify_map(calib.K(), calib.D(), calib.R(), new_K, size)
+        map_x, map_y = jnp.asarray(mx), jnp.asarray(my)
+    else:
+        map_x = map_y = zero
+
+    if config.white_balance.enabled and config.white_balance.method == "ccc":
+        if ccc_model is None:
+            ccc_model = load_ccc_model(config.white_balance.ccc_model_path)
+        filt_fft = jnp.asarray(ccc_model.filt_fft)
+        bias_fft = jnp.asarray(ccc_model.bias_fft)
+    else:
+        filt_fft = bias_fft = zero
+
+    ce = config.color_enhancer
+    return IspParams(
+        color_matrix=jnp.asarray(config.color_calibration.matrix_np(), jnp.float32).reshape(3, 3),
+        color_bias=jnp.asarray(config.color_calibration.bias_np(), jnp.float32),
+        gamma_lut=jnp.asarray(build_gamma_lut(config.gamma_correction.k)),
+        enhancer_gains=jnp.asarray(
+            [ce.hue_gain, ce.saturation_gain, ce.value_gain], jnp.float32
+        ),
+        vignetting_mask=mask,
+        map_x=map_x,
+        map_y=map_y,
+        ccc_filt_fft=filt_fft,
+        ccc_bias_fft=bias_fft,
+    )
+
+
+def make_isp_fn(config: PipelineConfig, encoding: str, with_state: bool, keep_intermediates: bool = True):
+    """Trace-time assembly of the chain for a fixed encoding.
+
+    Returns fn(params, pixels, state) -> (outputs, new_state) where outputs
+    is a dict with "processed" and (if keep_intermediates) the reference's
+    snapshots: "debayered" (post-flip, = getDistDebayeredImage via the flip
+    module, raw_image_pipeline.cpp:225-227) and "dist_color" (pre-undistort,
+    = getDistColorImage, undistortion.hpp:66-71).
+    """
+    deb = config.debayer
+    wb = config.white_balance
+    use_ccc = wb.enabled and wb.method == "ccc"
+    use_kalman = use_ccc and wb.temporal_consistency and with_state
+
+    if encoding in _UNSUPPORTED_BAYER:
+        raise ValueError(
+            f"Encoding [{encoding}] is a valid pattern but is not supported!"
+        )
+
+    calib = config.calibration
+    run_undist = (
+        config.undistortion.enabled
+        and calib.calibration_available
+        and calib.distortion_model != "none"
+    )
+
+    def fn(params: IspParams, pixels: jax.Array, state: Optional[IspState]):
+        outputs: Dict[str, jax.Array] = {}
+        img = pixels
+
+        # 1. debayer — always runs; per-call encoding decides (quirk §8.1)
+        if encoding in BAYER_ENCODINGS:
+            img = debayer(img, encoding, deb.algorithm)
+            if deb.algorithm == "bilinear":
+                # reference CPU path swaps R<->B after demosaic (debayer.cpp:49-52)
+                img = img[..., ::-1]
+        elif encoding == "rgb8":
+            img = img[..., ::-1]
+        # other encodings pass through untouched (debayer.cpp:75)
+
+        # 2. flip
+        if config.flip.enabled:
+            img = flip_op(img, config.flip.angle)
+        if keep_intermediates:
+            outputs["debayered"] = img  # flip-module snapshot (flip.cpp:59-61)
+
+        # 3. white balance
+        if wb.enabled:
+            if use_ccc:
+                small = ccc_ops.resize_linear_u8(img, ccc_ops.SMALL_H, ccc_ops.SMALL_W)
+                hist = ccc_ops.log_chroma_histogram(
+                    small, wb.saturation_bright_thr, wb.saturation_dark_thr
+                )
+                resp = ccc_ops.ccc_response(hist, params.ccc_filt_fft, params.ccc_bias_fft)
+                uv = ccc_ops.response_argmax(resp)
+                if use_kalman:
+                    state, uv = ccc_ops.kalman_update(state, uv)
+                gains = ccc_ops.gains_from_uv(uv)
+                img = ccc_ops.apply_gains(img, gains)
+            elif wb.method == "simple":
+                img = balance_white_simple(img, wb.clipping_percentile)
+            elif wb.method in ("grey_world", "gray_world"):
+                img = balance_white_grey_world(img, wb.saturation_bright_thr)
+            elif wb.method == "learned":
+                img = balance_white_learned(img, wb.saturation_bright_thr)
+            elif wb.method == "pca":
+                img = balance_white_pca(img)
+            else:
+                raise ValueError(f"White Balance method [{wb.method}] not supported")
+
+        # 4. color calibration
+        if config.color_calibration.enabled:
+            img = color_correct(img, params.color_matrix, params.color_bias)
+
+        # 5. gamma
+        if config.gamma_correction.enabled:
+            img = apply_lut(img, params.gamma_lut)
+
+        # 6. vignetting
+        if config.vignetting_correction.enabled:
+            img = vignetting_correct(img, params.vignetting_mask)
+
+        # 7. color enhancer
+        if config.color_enhancer.enabled:
+            img = enhance(img, params.enhancer_gains)
+
+        # 8. undistortion — the pre-undistort snapshot is taken whether or
+        # not the remap runs (undistortion.hpp:66-78)
+        if keep_intermediates:
+            outputs["dist_color"] = img
+        if run_undist:
+            img = remap_bilinear_u8(img, params.map_x, params.map_y)
+
+        outputs["processed"] = img
+        return outputs, state
+
+    return fn
+
+
+def build_pipeline(
+    config: PipelineConfig,
+    encoding: str = "bayer_gbrg8",
+    frame_hw: Optional[Tuple[int, int]] = None,
+    with_state: bool = False,
+    keep_intermediates: bool = False,
+    ccc_model: Optional[CCCModel] = None,
+    donate: bool = False,
+) -> BuiltPipeline:
+    """Build and jit the full ISP for one configuration.
+
+    frame_hw defaults to the calibration's image size. The returned object
+    is callable: outputs, state = pipe(pixels, state). Input pixels:
+    [B, H, W] uint8 for Bayer encodings, [B, H, W, 3] for color.
+    """
+    if frame_hw is None:
+        frame_hw = (config.calibration.image_height, config.calibration.image_width)
+    if (
+        config.white_balance.enabled
+        and config.white_balance.method == "ccc"
+        and ccc_model is None
+    ):
+        ccc_model = load_ccc_model(config.white_balance.ccc_model_path)
+    params = make_params(config, frame_hw, ccc_model)
+    raw_fn = make_isp_fn(config, encoding, with_state, keep_intermediates)
+    jitted = jax.jit(raw_fn, donate_argnums=(1,) if donate else ())
+    return BuiltPipeline(config=config, params=params, ccc_model=ccc_model, fn=jitted)

@@ -1,0 +1,87 @@
+"""Batch/stream CLI — the production entry point replacing the reference
+ROS node (raw_image_pipeline_ros): read frames from a directory, process
+them through the jitted ISP in batches, write the output streams as PNGs
+plus a camera_info YAML sidecar with the dist/rect calibrations.
+
+Example:
+    python -m raw_image_pipeline_tpu.tools.run_pipeline \
+        -i frames/ -o out/ -e bayer_gbrg8 \
+        -p configs/pipeline_params_example.yaml \
+        -c configs/alphasense_calib_example.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import cv2
+import numpy as np
+import yaml
+
+from raw_image_pipeline_tpu import RawImagePipeline
+from raw_image_pipeline_tpu.config import (
+    DEFAULT_CALIBRATION_PATH,
+    DEFAULT_COLOR_CALIBRATION_PATH,
+    DEFAULT_PARAMS_PATH,
+    load_camera_calibration,
+    load_pipeline_params,
+)
+from raw_image_pipeline_tpu.runtime.stream import StreamRunner, make_camera_infos
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-i", "--input-dir", required=True)
+    ap.add_argument("-o", "--output-dir", required=True)
+    ap.add_argument("-e", "--encoding", default="bayer_gbrg8",
+                    help="input encoding (the ROS input topic encoding)")
+    ap.add_argument("-p", "--params", default=DEFAULT_PARAMS_PATH)
+    ap.add_argument("-c", "--calibration", default=DEFAULT_CALIBRATION_PATH)
+    ap.add_argument("-cc", "--color-calibration", default=DEFAULT_COLOR_CALIBRATION_PATH)
+    ap.add_argument("-b", "--batch", type=int, default=8)
+    ap.add_argument("--output-encoding", default="BGR", choices=["BGR", "RGB"])
+    ap.add_argument("--skip-slow", type=int, default=0,
+                    help="emit a color/slow stream every N frames (ROS /slow topics)")
+    args = ap.parse_args(argv)
+
+    paths = sorted(
+        p for ext in ("png", "jpg", "jpeg", "tiff")
+        for p in glob.glob(os.path.join(args.input_dir, f"*.{ext}"))
+    )
+    if not paths:
+        raise SystemExit(f"no frames found in {args.input_dir}")
+
+    api = RawImagePipeline(False, args.params, args.calibration, args.color_calibration)
+    first = cv2.imread(paths[0], cv2.IMREAD_UNCHANGED)
+
+    config = load_pipeline_params(args.params)
+    config = config.replace(calibration=load_camera_calibration(args.calibration))
+    runner = StreamRunner(
+        config, args.encoding, first.shape[:2], batch_size=args.batch,
+        output_encoding=args.output_encoding, slow_skip=args.skip_slow,
+    )
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    infos = make_camera_infos(api)
+    with open(os.path.join(args.output_dir, "camera_info.yaml"), "w") as f:
+        yaml.safe_dump({k: v.to_dict() for k, v in infos.items()}, f)
+
+    names = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+
+    def sink(stream, idx, img):
+        d = os.path.join(args.output_dir, stream.replace("/", "_"))
+        os.makedirs(d, exist_ok=True)
+        cv2.imwrite(os.path.join(d, names[idx] + ".png"), img)
+
+    def frames():
+        for p in paths:
+            yield cv2.imread(p, cv2.IMREAD_UNCHANGED)
+
+    n = runner.run(frames(), sink)
+    print(f"processed {n} frames -> {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,194 @@
+"""End-to-end pipeline + API tests, including full-chain parity vs a
+cv2-composed golden replicating the reference's stage chain."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from raw_image_pipeline_tpu import (
+    PipelineConfig,
+    RawImagePipeline,
+    build_pipeline,
+    load_camera_calibration,
+    load_color_calibration,
+)
+from raw_image_pipeline_tpu.config import (
+    DEFAULT_CALIBRATION_PATH,
+    DEFAULT_COLOR_CALIBRATION_PATH,
+    DEFAULT_PARAMS_PATH,
+)
+from raw_image_pipeline_tpu.pipeline import init_state
+import dataclasses
+
+
+@pytest.fixture(scope="module")
+def bayer_frame():
+    """Mosaic the fixture for encoding bayer_gbrg8: the reference demosaics
+    it with cv::COLOR_BayerGB2BGR (debayer.cpp:54), whose CFA phase is
+    'grbg' under OpenCV's (1,1)-based convention."""
+    img = cv2.imread("tests/fixtures/alphasense.png")
+    h, w = img.shape[:2]
+    bayer = np.zeros((h, w), np.uint8)
+    ch = {"g": 1, "b": 0, "r": 2}
+    phase = "grbg"  # phase_for_encoding("bayer_gbrg8")
+    for k, (di, dj) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        bayer[di::2, dj::2] = img[di::2, dj::2, ch[phase[k]]]
+    return bayer
+
+
+def cv_golden_config1(bayer):
+    """BASELINE config 1: debayer bayer_gbrg8 (CPU path incl. swap quirk)
+    + gamma k=0.8 LUT."""
+    img = cv2.demosaicing(bayer, cv2.COLOR_BayerGB2BGR)
+    img = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)  # reference CPU swap quirk
+    lut = np.array(
+        [min(255, max(0, round(float(np.float32((i / 255.0) ** 0.8)) * 255.0)))
+         for i in range(256)], np.uint8,
+    )
+    return cv2.LUT(img, lut)
+
+
+def test_config1_debayer_gamma_parity(bayer_frame):
+    config = PipelineConfig().replace(
+        gamma_correction=dataclasses.replace(
+            PipelineConfig().gamma_correction, enabled=True, k=0.8
+        ),
+    )
+    pipe = build_pipeline(config, "bayer_gbrg8", frame_hw=bayer_frame.shape)
+    out, _ = pipe(bayer_frame[None])
+    golden = cv_golden_config1(bayer_frame)
+    np.testing.assert_array_equal(np.asarray(out["processed"])[0], golden)
+
+
+def test_api_default_chain_runs(bayer_frame):
+    """Default config: debayer + ccc WB + undistortion (pipeline_params)."""
+    pipe = RawImagePipeline(
+        False, DEFAULT_PARAMS_PATH, DEFAULT_CALIBRATION_PATH, DEFAULT_COLOR_CALIBRATION_PATH
+    )
+    out = pipe.process(bayer_frame, "bayer_gbrg8")
+    assert out.shape == (540, 720, 3) and out.dtype == np.uint8
+    assert pipe.get_dist_debayered_image().shape == (540, 720, 3)
+    assert pipe.get_dist_color_image().shape == (540, 720, 3)
+    # calibration getters
+    assert pipe.get_dist_image_width() == 720
+    assert pipe.get_dist_distortion_model() == "equidistant"
+    assert pipe.get_rect_distortion_model() == "none"
+    K_rect = pipe.get_rect_camera_matrix()
+    ref_K = cv2.fisheye.estimateNewCameraMatrixForUndistortRectify(
+        pipe.get_dist_camera_matrix(),
+        pipe.get_dist_distortion_coefficients().ravel(),
+        (720, 540), np.eye(3), balance=0.0, new_size=(720, 540), fov_scale=0.8,
+    )
+    np.testing.assert_allclose(K_rect, ref_K, atol=1e-9)
+
+
+def test_api_full_chain_vs_cv2_golden(bayer_frame):
+    """Full 8-stage chain vs the cv2-composed reference composition."""
+    pipe = RawImagePipeline(False, DEFAULT_PARAMS_PATH, DEFAULT_CALIBRATION_PATH,
+                            DEFAULT_COLOR_CALIBRATION_PATH)
+    pipe.set_white_balance_method("pca")
+    pipe.set_flip(True)
+    pipe.set_flip_angle(180)
+    pipe.set_gamma_correction(True)
+    pipe.set_gamma_correction_k(0.9)
+    pipe.set_color_calibration(True)
+    pipe.set_color_enhancer(True)
+    pipe.set_color_enhancer_saturation_gain(1.2)
+    out = pipe.process(bayer_frame, "bayer_gbrg8")
+
+    # golden with cv2
+    img = cv2.demosaicing(bayer_frame, cv2.COLOR_BayerGB2BGR)
+    img = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+    img = cv2.flip(img, -1)
+    # pca wb (float64 reference)
+    b, g, r = [img[..., i].astype(np.float64) for i in range(3)]
+
+    def pca(c):
+        c2 = c * c
+        A = np.array([[c2.sum(), c.sum()], [c2.max(), c.max()]])
+        x = np.linalg.solve(A, np.array([g.sum(), g.max()]))
+        return np.clip(np.rint(np.minimum(x[0] * c2 + x[1] * c, 255.0)), 0, 255).astype(np.uint8)
+
+    img = np.stack([pca(b), img[..., 1], pca(r)], -1)
+    cc = load_color_calibration(DEFAULT_COLOR_CALIBRATION_PATH)
+    flat = img.reshape(-1, 3).astype(np.float32)
+    img = np.clip(
+        np.rint(flat @ cc.matrix_np().T.astype(np.float32) + cc.bias_np().astype(np.float32)),
+        0, 255,
+    ).astype(np.uint8).reshape(img.shape)
+    lut = np.array(
+        [min(255, max(0, round(float(np.float32((i / 255.0) ** 0.9)) * 255.0)))
+         for i in range(256)], np.uint8,
+    )
+    img = cv2.LUT(img, lut)
+    hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+    hsv = cv2.multiply(hsv, (1.0, 1.2, 1.0, 0))
+    img = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+    calib = load_camera_calibration(DEFAULT_CALIBRATION_PATH)
+    newK = cv2.fisheye.estimateNewCameraMatrixForUndistortRectify(
+        calib.K(), calib.D(), (720, 540), calib.R(), balance=0.0,
+        new_size=(720, 540), fov_scale=0.8,
+    )
+    mx, my = cv2.fisheye.initUndistortRectifyMap(calib.K(), calib.D(), calib.R(), newK,
+                                                 (720, 540), cv2.CV_32F)
+    golden = cv2.remap(img, mx, my, cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT,
+                       borderValue=0)
+
+    d = np.abs(out.astype(int) - golden.astype(int))
+    # The color-enhancer stage sits on cv2 5.0's HSV2BGR SIMD/scalar
+    # .5-boundary split (see ops/colorspace.py): ~1/3 of pixels differ by
+    # exactly 1 LSB from this cv2 build's SIMD choice, and the final remap
+    # can blend two such pixels into a 2. Everything above that envelope
+    # would be a real bug.
+    assert d.max() <= 2, d.max()
+    assert (d > 1).mean() < 1e-4
+    assert d.mean() < 0.5
+
+
+def test_temporal_consistency_stream(bayer_frame):
+    pipe = RawImagePipeline(False, DEFAULT_PARAMS_PATH, DEFAULT_CALIBRATION_PATH,
+                            DEFAULT_COLOR_CALIBRATION_PATH)
+    pipe.set_white_balance_temporal_consistency(True)
+    pipe.set_undistortion(False)
+    out1 = pipe.process(bayer_frame, "bayer_gbrg8")
+    out2 = pipe.process(bayer_frame, "bayer_gbrg8")
+    # same frame, converged filter: outputs identical
+    np.testing.assert_array_equal(out1, out2)
+    pipe.reset_white_balance_temporal_consistency()
+    out3 = pipe.process(bayer_frame, "bayer_gbrg8")
+    np.testing.assert_array_equal(out1, out3)
+
+
+def test_unsupported_encoding_raises(bayer_frame):
+    pipe = RawImagePipeline(False, DEFAULT_PARAMS_PATH, "", "")
+    with pytest.raises(ValueError, match="not supported"):
+        pipe.process(bayer_frame, "bayer_gbrg16")
+
+
+def test_passthrough_encoding(bayer_frame):
+    """Non-bayer, non-rgb8 encodings pass through debayer untouched
+    (debayer.cpp:75)."""
+    pipe = RawImagePipeline(False, DEFAULT_PARAMS_PATH, "", "")
+    pipe.set_white_balance(False)
+    pipe.set_undistortion(False)
+    img = cv2.imread("tests/fixtures/alphasense.png")
+    out = pipe.process(img, "bgr8")
+    np.testing.assert_array_equal(out, img)
+
+
+def test_batch_equals_loop(bayer_frame):
+    config = PipelineConfig().replace(
+        white_balance=dataclasses.replace(
+            PipelineConfig().white_balance, enabled=True, method="grey_world"
+        ),
+    )
+    pipe = build_pipeline(config, "bayer_gbrg8", frame_hw=bayer_frame.shape)
+    b2 = np.stack([bayer_frame, bayer_frame[:, ::-1].copy()])
+    out, _ = pipe(b2)
+    for i in range(2):
+        solo, _ = pipe(b2[i][None])
+        np.testing.assert_array_equal(
+            np.asarray(out["processed"])[i], np.asarray(solo["processed"])[0]
+        )

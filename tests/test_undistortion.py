@@ -1,0 +1,71 @@
+"""Fisheye undistortion parity vs cv2.fisheye + cv2.remap."""
+
+import cv2
+import numpy as np
+import pytest
+
+from raw_image_pipeline_tpu.ops.undistortion import (
+    estimate_new_camera_matrix,
+    fisheye_undistort_points,
+    init_undistort_rectify_map,
+    remap_bilinear_u8,
+)
+
+K = np.array(
+    [[347.548139773951, 0, 342.454373227748],
+     [0, 347.434712422309, 271.368057185649],
+     [0, 0, 1]]
+)
+D = np.array([-0.0396482888762527, -0.00367688950406141, 0.00391742438164282, -0.00178738156007817])
+R = np.eye(3)
+SIZE = (720, 540)  # (width, height)
+
+
+def test_undistort_points_exact():
+    pts = np.array([[360, 0], [720, 270], [360, 540], [0, 270], [100, 100]], float)
+    ref = cv2.fisheye.undistortPoints(pts.reshape(1, -1, 2), K, D, R=R).reshape(-1, 2)
+    mine = fisheye_undistort_points(pts, K, D, R)
+    np.testing.assert_allclose(mine, ref, rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("balance,fov_scale", [(0.0, 1.0), (0.5, 1.2), (0.0, 0.8), (1.0, 1.0)])
+def test_estimate_new_camera_matrix_exact(balance, fov_scale):
+    ref = cv2.fisheye.estimateNewCameraMatrixForUndistortRectify(
+        K, D, SIZE, R, balance=balance, new_size=SIZE, fov_scale=fov_scale
+    )
+    mine = estimate_new_camera_matrix(K, D, SIZE, R, balance, SIZE, fov_scale)
+    np.testing.assert_allclose(mine, ref, rtol=0, atol=1e-9)
+
+
+def test_init_maps_exact():
+    newK = cv2.fisheye.estimateNewCameraMatrixForUndistortRectify(
+        K, D, SIZE, R, balance=0.0, new_size=SIZE, fov_scale=0.8
+    )
+    mx_ref, my_ref = cv2.fisheye.initUndistortRectifyMap(K, D, R, newK, SIZE, cv2.CV_32F)
+    mx, my = init_undistort_rectify_map(K, D, R, newK, SIZE)
+    np.testing.assert_array_equal(mx, mx_ref)
+    np.testing.assert_array_equal(my, my_ref)
+
+
+def test_remap_parity_random_maps():
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (60, 80, 3), np.uint8)
+    mx = rng.uniform(-5, 85, (50, 70)).astype(np.float32)
+    my = rng.uniform(-5, 65, (50, 70)).astype(np.float32)
+    ref = cv2.remap(img, mx, my, cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    out = np.asarray(remap_bilinear_u8(img, mx, my))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_full_undistortion_on_fixture():
+    img = cv2.imread("tests/fixtures/alphasense.png")
+    newK = estimate_new_camera_matrix(K, D, SIZE, R, 0.0, SIZE, 0.8)
+    mx, my = init_undistort_rectify_map(K, D, R, newK, SIZE)
+    ref = cv2.remap(img, mx, my, cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    out = np.asarray(remap_bilinear_u8(img[None], mx, my))[0]
+    d = np.abs(out.astype(int) - ref.astype(int))
+    assert d.max() <= 1, d.max()
+    assert (d > 0).mean() < 1e-4
+    # batched consistency
+    out2 = np.asarray(remap_bilinear_u8(np.stack([img, img]), mx, my))
+    np.testing.assert_array_equal(out2[0], out2[1])
