@@ -18,8 +18,18 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def tpu_fps(batch=16, iters=20, h=1080, w=1920):
+def tpu_fps(h=1080, w=1920, b_small=4, b_big=32):
+    """Measure steady-state device throughput.
+
+    On the axon platform block_until_ready() returns before execution
+    finishes, so each timing dispatches one jitted pipeline call that
+    reduces its output to a scalar checksum in-graph, and waits for the
+    checksum via a device->host fetch (a genuine sync). The fetch + RPC
+    overhead (~30 ms) is constant, so timing two batch sizes and taking the
+    difference yields the per-frame compute time.
+    """
     import jax
+    import jax.numpy as jnp
 
     import __graft_entry__ as ge
     from raw_image_pipeline_tpu.pipeline import build_pipeline
@@ -28,25 +38,37 @@ def tpu_fps(batch=16, iters=20, h=1080, w=1920):
     pipe = build_pipeline(config, "bayer_gbrg8", frame_hw=(h, w))
 
     rng = np.random.default_rng(0)
-    pixels = jax.device_put(rng.integers(0, 256, (batch, h, w), np.uint8))
+    params = jax.device_put(pipe.params)
+    pix = {
+        b: jax.device_put(rng.integers(0, 256, (b, h, w), np.uint8))
+        for b in (b_small, b_big)
+    }
 
-    fn = jax.jit(lambda px: pipe.fn(pipe.params, px, None)[0]["processed"])
+    # params as explicit jit args (closure device-constants are fetched to
+    # host at lowering, unsupported for complex64 on axon)
+    @jax.jit
+    def step(p, px):
+        out, _s = pipe.fn(p, px, None)
+        return jnp.sum(out["processed"], dtype=jnp.int32)
+
+    def run(b):
+        t0 = time.perf_counter()
+        out = step(params, pix[b])
+        _ = np.asarray(out)  # force completion through the tunnel
+        return time.perf_counter() - t0
+
     t0 = time.perf_counter()
-    out = fn(pixels)
-    jax.block_until_ready(out)
+    run(b_small)
     log(f"tpu compile+first: {time.perf_counter()-t0:.1f}s on {jax.devices()[0]}")
+    run(b_big)  # warm/compile the big batch too
 
-    # warmup
-    for _ in range(3):
-        jax.block_until_ready(fn(pixels))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(pixels)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    fps = batch * iters / dt
-    lat_ms = dt / iters * 1000
-    log(f"tpu: {fps:.1f} frames/s (batch={batch}, {lat_ms:.1f} ms/batch)")
+    t_small = min(run(b_small) for _ in range(5))
+    t_big = min(run(b_big) for _ in range(5))
+    dt_frame = (t_big - t_small) / (b_big - b_small)
+    fps = 1.0 / dt_frame
+    lat_ms = dt_frame * 1000
+    log(f"tpu: {fps:.1f} frames/s ({lat_ms:.3f} ms/frame compute; "
+        f"t{b_small}={t_small*1000:.1f}ms t{b_big}={t_big*1000:.1f}ms)")
     return fps, lat_ms
 
 

@@ -27,15 +27,33 @@ import numpy as np
 @dataclass(frozen=True)
 class CCCModel:
     """Loaded FFCC model. `filt` and `bias` are the post-transpose arrays
-    (shape (width, height)) exactly as the reference holds them in memory."""
+    (shape (width, height)) exactly as the reference holds them in memory.
+
+    The response convolution is computed on TPU as DFT-by-matmul (the FFT
+    custom-call is unavailable on TPU runtimes, and a 256-point DFT is a
+    perfect MXU matmul anyway), so the model precomputes the full complex
+    2-D DFT of the filter as two real arrays. The bias enters the response
+    purely additively — IDFT(DFT(bias)) is bias itself — so its spatial
+    form is all that's needed.
+    """
 
     width: int
     height: int
     filt: np.ndarray  # (W, H) float32
     bias: np.ndarray  # (W, H) float32
-    # Precomputed real FFTs (complex64), shape (W, H//2+1).
-    filt_fft: np.ndarray
-    bias_fft: np.ndarray
+    # Full 2-D DFT of filt, split into real/imag float32 (W, H).
+    filt_dft_re: np.ndarray
+    filt_dft_im: np.ndarray
+
+    @property
+    def filt_fft(self) -> np.ndarray:
+        """rfft2 of the filter (complex64) — host-side/test use only."""
+        return np.fft.rfft2(self.filt.astype(np.float64)).astype(np.complex64)
+
+    @property
+    def bias_fft(self) -> np.ndarray:
+        """rfft2 of the bias (complex64) — host-side/test use only."""
+        return np.fft.rfft2(self.bias.astype(np.float64)).astype(np.complex64)
 
 
 def load_ccc_model(path: str) -> CCCModel:
@@ -50,16 +68,15 @@ def load_ccc_model(path: str) -> CCCModel:
     filt_t = np.ascontiguousarray(filt.T)
     bias_t = np.ascontiguousarray(bias.T)
 
-    filt_fft = np.fft.rfft2(filt_t.astype(np.float64)).astype(np.complex64)
-    bias_fft = np.fft.rfft2(bias_t.astype(np.float64)).astype(np.complex64)
+    filt_dft = np.fft.fft2(filt_t.astype(np.float64))
 
     return CCCModel(
         width=width,
         height=height,
         filt=filt_t,
         bias=bias_t,
-        filt_fft=filt_fft,
-        bias_fft=bias_fft,
+        filt_dft_re=filt_dft.real.astype(np.float32),
+        filt_dft_im=filt_dft.imag.astype(np.float32),
     )
 
 

@@ -105,12 +105,58 @@ def log_chroma_histogram(
     return hist.reshape(lead + (HIST_N, HIST_N))
 
 
+def _dft_matrices():
+    """Real/imag parts of the 256-point DFT matrix (float32 constants)."""
+    k = np.arange(HIST_N)
+    ang = -2.0 * np.pi * np.outer(k, k) / HIST_N
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+_DFT_RE, _DFT_IM = _dft_matrices()
+
+
 @jax.jit
-def ccc_response(hist: jax.Array, filt_fft: jax.Array, bias_fft: jax.Array) -> jax.Array:
-    """response = irfft2(rfft2(hist) * filt_fft + bias_fft), [..., 256, 256]."""
-    hist_fft = jnp.fft.rfft2(hist)
-    resp_fft = hist_fft * filt_fft + bias_fft
-    return jnp.fft.irfft2(resp_fft, s=(HIST_N, HIST_N)).astype(jnp.float32)
+def ccc_response(hist: jax.Array, filt_dft_re: jax.Array, filt_dft_im: jax.Array,
+                 bias_spatial: jax.Array) -> jax.Array:
+    """response = IDFT2(DFT2(hist) * DFT2(filt)).real + bias, [..., 256, 256].
+
+    Mathematically identical to the reference's
+    dft/mulSpectrums/add/idft chain (ccc.cpp:283-292) up to the inverse
+    scale (which cv::dft omits and which cannot move the argmax): the bias
+    term passes through DFT->IDFT untouched, so it is added in the spatial
+    domain directly.
+
+    Implemented as 10 real 256x256 matmuls on the MXU instead of an FFT
+    custom-call (unavailable on TPU): 2-D DFT2(X) = F X F^T done in
+    real/imag parts, elementwise complex product with the precomputed
+    filter DFT, then the real part of the inverse transform.
+    """
+    f32 = jnp.float32
+    Fr = jnp.asarray(_DFT_RE)
+    Fi = jnp.asarray(_DFT_IM)
+    X = hist.astype(f32)
+
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=f32)
+
+    # forward: Y = F X F^T  (X real)
+    A = mm(X, Fr)          # X F^T == X Fr (F symmetric)
+    B = mm(X, Fi)
+    Yr = mm(Fr, A) - mm(Fi, B)
+    Yi = mm(Fr, B) + mm(Fi, A)
+
+    # elementwise complex product with the filter DFT
+    Zr = Yr * filt_dft_re - Yi * filt_dft_im
+    Zi = Yr * filt_dft_im + Yi * filt_dft_re
+
+    # inverse: real(conj(F) Z conj(F)^T) / N^2
+    # conj(F) = Fr - i Fi
+    Ar = mm(Fr, Zr) + mm(Fi, Zi)
+    Ai = mm(Fr, Zi) - mm(Fi, Zr)
+    R = mm(Ar, Fr) + mm(Ai, Fi)
+    resp = R * f32(1.0 / (HIST_N * HIST_N))
+    return resp + bias_spatial.astype(f32)
 
 
 @jax.jit
@@ -225,7 +271,10 @@ def ccc_balance_white(
     small = resize_linear_u8(image, SMALL_H, SMALL_W)
     hist = log_chroma_histogram(small, bright_thr, dark_thr, uv0)
     resp = ccc_response(
-        hist, jnp.asarray(model.filt_fft), jnp.asarray(model.bias_fft)
+        hist,
+        jnp.asarray(model.filt_dft_re),
+        jnp.asarray(model.filt_dft_im),
+        jnp.asarray(model.bias),
     )
     uv = response_argmax(resp)
     if state is not None:

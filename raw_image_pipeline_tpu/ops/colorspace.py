@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from raw_image_pipeline_tpu.ops.common import descale, round_u8
+from raw_image_pipeline_tpu.ops.lut import CorrectedTable
 
 # ---------------------------------------------------------------------------
 # HSV (hsv_shift = 12, matching OpenCV's RGB2HSV_b)
@@ -50,6 +51,26 @@ def _build_hsv_tables():
 
 _SDIV_TAB, _HDIV_TAB = _build_hsv_tables()
 
+# Formula-served exact tables (see ops/lut.py): the arithmetic runs on the
+# VPU; entries where device float rounding differs from the exact table are
+# patched by equality-selects.
+_SDIV = CorrectedTable(
+    lambda v: jnp.where(
+        v == 0,
+        0,
+        jnp.rint((255 << _HSV_SHIFT) / jnp.maximum(v, 1).astype(jnp.float32)).astype(jnp.int32),
+    ),
+    _SDIV_TAB,
+)
+_HDIV = CorrectedTable(
+    lambda d: jnp.where(
+        d == 0,
+        0,
+        jnp.rint((180 << _HSV_SHIFT) / (6.0 * jnp.maximum(d, 1).astype(jnp.float32))).astype(jnp.int32),
+    ),
+    _HDIV_TAB,
+)
+
 
 @jax.jit
 def bgr_to_hsv_u8(image: jax.Array) -> jax.Array:
@@ -61,22 +82,21 @@ def bgr_to_hsv_u8(image: jax.Array) -> jax.Array:
     mn = jnp.minimum(jnp.minimum(b, g), r)
     diff = v - mn
 
-    sdiv = jnp.asarray(_SDIV_TAB)
-    hdiv = jnp.asarray(_HDIV_TAB)
-    s = (diff * jnp.take(sdiv, v) + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
+    s = (diff * _SDIV(v) + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
 
     h_num = jnp.where(
         v == r, g - b, jnp.where(v == g, b - r + 2 * diff, r - g + 4 * diff)
     )
-    h = (h_num * jnp.take(hdiv, diff) + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
+    h = (h_num * _HDIV(diff) + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
     h = h + jnp.where(h < 0, 180, 0)
     return jnp.stack([h, s, v], axis=-1).astype(jnp.uint8)
 
 
-# b,g,r pick which of tab[0..3] per sector (OpenCV sector_data, RGB order
-# reversed to BGR).
-_SECTOR_DATA = np.array(
-    [[1, 3, 0], [1, 0, 2], [3, 0, 1], [0, 2, 1], [0, 1, 3], [2, 1, 0]], np.int32
+# which of tab[0..3] feeds b,g,r per sector (OpenCV sector_data, RGB order
+# reversed to BGR). Applied as elementwise selects, not gathers: gathers
+# with tiny trailing dims get 40x-padded layouts on TPU and blow HBM.
+_SECTOR_DATA = (
+    (1, 3, 0), (1, 0, 2), (3, 0, 1), (0, 2, 1), (0, 1, 3), (2, 1, 0)
 )
 
 
@@ -95,11 +115,15 @@ def hsv_to_bgr_u8(image: jax.Array) -> jax.Array:
     sector = sector % 6
 
     one = f32(1.0)
-    tabs = jnp.stack(
-        [v, v * (one - s), v * (one - s * ff), v * (one - s * (one - ff))], axis=-1
-    )
-    idx = jnp.take(jnp.asarray(_SECTOR_DATA), sector, axis=0)  # [..., 3]
-    out = jnp.take_along_axis(tabs, idx, axis=-1)
+    tab = (v, v * (one - s), v * (one - s * ff), v * (one - s * (one - ff)))
+
+    def pick(channel: int):
+        out = tab[_SECTOR_DATA[0][channel]]
+        for sec in range(1, 6):
+            out = jnp.where(sector == sec, tab[_SECTOR_DATA[sec][channel]], out)
+        return out
+
+    out = jnp.stack([pick(0), pick(1), pick(2)], axis=-1)
     return round_u8(out * f32(255.0))
 
 
@@ -135,15 +159,36 @@ def _build_lab_tables():
         ],
         np.int32,
     )
-    # inverse gamma table for Lab->BGR: linear [0,1] -> sRGB-encoded u8-scale
-    n = 4096
-    lv = np.arange(n) / (n - 1)
-    srgb = np.where(lv <= 0.0031308, lv * 12.92, 1.055 * lv ** (1.0 / 2.4) - 0.055)
-    inv_gamma_tab = (srgb * 255.0).astype(np.float32)
-    return gamma_tab, cbrt_tab, coef, inv_gamma_tab
+    return gamma_tab, cbrt_tab, coef
 
 
-_GAMMA_TAB, _CBRT_TAB, _LAB_COEF, _INV_GAMMA_TAB = _build_lab_tables()
+_GAMMA_TAB, _CBRT_TAB, _LAB_COEF = _build_lab_tables()
+
+
+def _lab_gamma_formula(i):
+    f32 = jnp.float32
+    x = i.astype(f32) * f32(1.0 / 255.0)
+    lin = jnp.where(
+        x <= 0.04045,
+        x * f32(1.0 / 12.92),
+        jnp.power((x + f32(0.055)) * f32(1.0 / 1.055), f32(2.4)),
+    )
+    return jnp.floor(f32(255 * (1 << _GAMMA_SHIFT)) * lin).astype(jnp.int32)
+
+
+def _cbrt_formula(i):
+    f32 = jnp.float32
+    x = i.astype(f32) * f32(1.0 / (255 * (1 << _GAMMA_SHIFT)))
+    f = jnp.where(
+        x < 0.008856,
+        x * f32(7.787) + f32(0.13793103448275862),
+        jnp.cbrt(x),
+    )
+    return jnp.floor(f * f32(1 << _LAB_SHIFT2)).astype(jnp.int32)
+
+
+_LAB_GAMMA = CorrectedTable(_lab_gamma_formula, _GAMMA_TAB)
+_LAB_CBRT = CorrectedTable(_cbrt_formula, _CBRT_TAB)
 
 
 @jax.jit
@@ -151,21 +196,22 @@ def bgr_to_lab_u8(image: jax.Array) -> jax.Array:
     """OpenCV-style integer BGR->Lab for uint8 (sRGB gamma, D65).
 
     Within 2 LSB of cv2 5.0's bit-exact LUT path; see module docstring.
+    Both integer tables (256-entry sRGB linearize, 3072-entry cbrt) are
+    served by their float formulas with device-derived sparse corrections
+    (ops/lut.py), exactly matching the host-built tables.
     """
-    gt = jnp.asarray(_GAMMA_TAB)
-    ct = jnp.asarray(_CBRT_TAB)
     C = [int(c) for c in _LAB_COEF]
 
-    b = jnp.take(gt, image[..., 0].astype(jnp.int32))
-    g = jnp.take(gt, image[..., 1].astype(jnp.int32))
-    r = jnp.take(gt, image[..., 2].astype(jnp.int32))
+    b = _LAB_GAMMA(image[..., 0].astype(jnp.int32))
+    g = _LAB_GAMMA(image[..., 1].astype(jnp.int32))
+    r = _LAB_GAMMA(image[..., 2].astype(jnp.int32))
 
-    def idx(v):
-        return jnp.clip(v, 0, _CBRT_TAB_SIZE - 1)
+    def cbrt_tab(v):
+        return _LAB_CBRT(jnp.clip(v, 0, _CBRT_TAB_SIZE - 1))
 
-    fX = jnp.take(ct, idx(descale(r * C[0] + g * C[1] + b * C[2], _LAB_SHIFT)))
-    fY = jnp.take(ct, idx(descale(r * C[3] + g * C[4] + b * C[5], _LAB_SHIFT)))
-    fZ = jnp.take(ct, idx(descale(r * C[6] + g * C[7] + b * C[8], _LAB_SHIFT)))
+    fX = cbrt_tab(descale(r * C[0] + g * C[1] + b * C[2], _LAB_SHIFT))
+    fY = cbrt_tab(descale(r * C[3] + g * C[4] + b * C[5], _LAB_SHIFT))
+    fZ = cbrt_tab(descale(r * C[6] + g * C[7] + b * C[8], _LAB_SHIFT))
 
     l_scale = (116 * 255 + 50) // 100
     l_shift = -((16 * 255 * (1 << _LAB_SHIFT2) + 50) // 100)
@@ -201,12 +247,16 @@ def lab_to_bgr_u8(image: jax.Array) -> jax.Array:
     G = X * f32(-0.969256) + Y * f32(1.875991) + Z * f32(0.041556)
     B = X * f32(0.055648) + Y * f32(-0.204043) + Z * f32(1.057311)
 
-    igt = jnp.asarray(_INV_GAMMA_TAB)
-    n = igt.shape[0]
-
     def encode(v):
-        vi = jnp.clip(jnp.rint(v * (n - 1)), 0, n - 1).astype(jnp.int32)
-        return jnp.take(igt, vi)
+        # sRGB encode computed directly (gather-free); clamp to [0, 1]
+        # like the LUT index clamp did
+        v = jnp.clip(v, 0.0, 1.0)
+        srgb = jnp.where(
+            v <= 0.0031308,
+            v * f32(12.92),
+            f32(1.055) * jnp.power(v, f32(1.0 / 2.4)) - f32(0.055),
+        )
+        return srgb * f32(255.0)
 
     out = jnp.stack([encode(B), encode(G), encode(R)], axis=-1)
     return round_u8(out)

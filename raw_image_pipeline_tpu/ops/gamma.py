@@ -2,9 +2,14 @@
 
 The reference builds lut[i] = saturate_cast<uchar>(pow(i/255, k) * 255) and
 applies it with cv::LUT; both the "custom" and the CPU "default" method are
-this same LUT (gamma_correction.cpp:58-60). The LUT is built on host at
-config time; the application is a vectorized gather that XLA fuses into the
-surrounding elementwise chain.
+this same LUT (gamma_correction.cpp:58-60).
+
+On TPU the lookup is served by evaluating pow per pixel on the VPU plus
+sparse corrections for the handful of entries where device float rounding
+differs from the exact host-built table (see ops/lut.py — gathers are
+scalar-rate on TPU). The corrections are derived at pipeline-build time on
+the executing backend and passed as runtime parameters, so changing k never
+recompiles.
 """
 
 from __future__ import annotations
@@ -12,6 +17,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from raw_image_pipeline_tpu.ops.lut import MAX_CORR, derive_corrections
 
 
 def build_gamma_lut(k: float) -> np.ndarray:
@@ -23,11 +30,37 @@ def build_gamma_lut(k: float) -> np.ndarray:
     return np.clip(vals, 0, 255).astype(np.uint8)
 
 
-@jax.jit
-def apply_lut(image: jax.Array, lut: jax.Array) -> jax.Array:
-    """dst = lut[src] for uint8 images of any shape."""
-    return jnp.take(lut, image.astype(jnp.int32))
+def _gamma_formula(x, k):
+    f32 = jnp.float32
+    xf = x.astype(f32) * f32(1.0 / 255.0)
+    p = jnp.power(xf, jnp.asarray(k, f32))
+    return jnp.clip(jnp.rint(p * f32(255.0)), 0, 255).astype(jnp.uint8)
+
+
+def gamma_corrections(k: float):
+    """(corr_idx, corr_val) patching the device pow formula to the exact
+    reference LUT, derived on the current backend."""
+    return derive_corrections(lambda x: _gamma_formula(x, k), build_gamma_lut(k))
+
+
+def gamma_apply(image: jax.Array, k: jax.Array, corr_idx: jax.Array, corr_val: jax.Array) -> jax.Array:
+    """Exact LUT application: formula + corrections (all runtime args)."""
+    x = image.astype(jnp.int32)
+    y = _gamma_formula(x, k)
+    for j in range(corr_idx.shape[0]):
+        y = jnp.where(x == corr_idx[j], corr_val[j], y)
+    return y
 
 
 def gamma_correct(image: jax.Array, k: float) -> jax.Array:
-    return apply_lut(image, jnp.asarray(build_gamma_lut(k)))
+    """Convenience one-shot (derives corrections on current backend)."""
+    idx, val = gamma_corrections(k)
+    return gamma_apply(image, jnp.float32(k), jnp.asarray(idx), jnp.asarray(val))
+
+
+# Back-compat alias used by tests: exact LUT application for an arbitrary
+# 256-entry table via select tree (slow to compile; prefer gamma_apply).
+def apply_lut(image: jax.Array, lut: jax.Array) -> jax.Array:
+    from raw_image_pipeline_tpu.ops.common import lut_select
+
+    return lut_select(image.astype(jnp.int32), lut).astype(lut.dtype)

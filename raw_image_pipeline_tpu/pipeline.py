@@ -53,7 +53,7 @@ from raw_image_pipeline_tpu.ops.debayer import (
     debayer,
 )
 from raw_image_pipeline_tpu.ops.flip import flip as flip_op
-from raw_image_pipeline_tpu.ops.gamma import apply_lut, build_gamma_lut
+from raw_image_pipeline_tpu.ops.gamma import gamma_apply, gamma_corrections
 from raw_image_pipeline_tpu.ops.undistortion import (
     estimate_new_camera_matrix,
     init_undistort_rectify_map,
@@ -81,13 +81,17 @@ class IspParams:
 
     color_matrix: jax.Array  # [3,3] f32
     color_bias: jax.Array  # [3] f32
-    gamma_lut: jax.Array  # [256] u8
+    gamma_k: jax.Array  # scalar f32
+    gamma_corr_idx: jax.Array  # [MAX_CORR] i32 formula patch indices
+    gamma_corr_val: jax.Array  # [MAX_CORR] u8 patch values
     enhancer_gains: jax.Array  # [3] f32 (H,S,V)
     vignetting_mask: jax.Array  # [H,W] f32 (post-flip dims) or scalar 0 if unused
     map_x: jax.Array  # [Ho,Wo] f32 undistortion maps (or scalar 0 if unused)
     map_y: jax.Array
-    ccc_filt_fft: jax.Array  # [256,129] c64 (or scalar 0)
-    ccc_bias_fft: jax.Array
+    # CCC filter DFT (real/imag f32 [256,256]) + spatial bias (or scalar 0)
+    ccc_filt_dft_re: jax.Array
+    ccc_filt_dft_im: jax.Array
+    ccc_bias: jax.Array
 
 
 # Cross-frame state: the CCC Kalman illuminant track.
@@ -161,24 +165,30 @@ def make_params(
     if config.white_balance.enabled and config.white_balance.method == "ccc":
         if ccc_model is None:
             ccc_model = load_ccc_model(config.white_balance.ccc_model_path)
-        filt_fft = jnp.asarray(ccc_model.filt_fft)
-        bias_fft = jnp.asarray(ccc_model.bias_fft)
+        filt_re = jnp.asarray(ccc_model.filt_dft_re)
+        filt_im = jnp.asarray(ccc_model.filt_dft_im)
+        ccc_bias = jnp.asarray(ccc_model.bias)
     else:
-        filt_fft = bias_fft = zero
+        filt_re = filt_im = ccc_bias = zero
+
+    gamma_idx, gamma_val = gamma_corrections(config.gamma_correction.k)
 
     ce = config.color_enhancer
     return IspParams(
         color_matrix=jnp.asarray(config.color_calibration.matrix_np(), jnp.float32).reshape(3, 3),
         color_bias=jnp.asarray(config.color_calibration.bias_np(), jnp.float32),
-        gamma_lut=jnp.asarray(build_gamma_lut(config.gamma_correction.k)),
+        gamma_k=jnp.float32(config.gamma_correction.k),
+        gamma_corr_idx=jnp.asarray(gamma_idx),
+        gamma_corr_val=jnp.asarray(gamma_val),
         enhancer_gains=jnp.asarray(
             [ce.hue_gain, ce.saturation_gain, ce.value_gain], jnp.float32
         ),
         vignetting_mask=mask,
         map_x=map_x,
         map_y=map_y,
-        ccc_filt_fft=filt_fft,
-        ccc_bias_fft=bias_fft,
+        ccc_filt_dft_re=filt_re,
+        ccc_filt_dft_im=filt_im,
+        ccc_bias=ccc_bias,
     )
 
 
@@ -235,7 +245,10 @@ def make_isp_fn(config: PipelineConfig, encoding: str, with_state: bool, keep_in
                 hist = ccc_ops.log_chroma_histogram(
                     small, wb.saturation_bright_thr, wb.saturation_dark_thr
                 )
-                resp = ccc_ops.ccc_response(hist, params.ccc_filt_fft, params.ccc_bias_fft)
+                resp = ccc_ops.ccc_response(
+                    hist, params.ccc_filt_dft_re, params.ccc_filt_dft_im,
+                    params.ccc_bias,
+                )
                 uv = ccc_ops.response_argmax(resp)
                 if use_kalman:
                     state, uv = ccc_ops.kalman_update(state, uv)
@@ -258,7 +271,9 @@ def make_isp_fn(config: PipelineConfig, encoding: str, with_state: bool, keep_in
 
         # 5. gamma
         if config.gamma_correction.enabled:
-            img = apply_lut(img, params.gamma_lut)
+            img = gamma_apply(
+                img, params.gamma_k, params.gamma_corr_idx, params.gamma_corr_val
+            )
 
         # 6. vignetting
         if config.vignetting_correction.enabled:
