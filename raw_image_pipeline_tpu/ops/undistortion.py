@@ -150,9 +150,20 @@ def remap_bilinear_u8(image: jax.Array, map_x: jax.Array, map_y: jax.Array) -> j
 
     image: [..., H, W, C] uint8; map_x/map_y: [Ho, Wo] float32.
     Returns [..., Ho, Wo, C] uint8.
+
+    TPU formulation: XLA's gather is index-rate-bound (~8 ns per index, no
+    matter how many bytes each index fetches), so the kernel spends one
+    index per *output pixel*, not per tap: the image is zero-padded by one
+    pixel (realizing BORDER_CONSTANT for edge taps), flattened to
+    [(H+2)*(W+2), batch*C], and the four bilinear taps are pre-packed into
+    one wide row by concatenating shifted copies — a single row-gather then
+    fetches all taps for every frame and channel at once. Per-frame gather
+    cost scales as 1/batch.
     """
     h, w = image.shape[-3], image.shape[-2]
     c = image.shape[-1]
+    lead = image.shape[:-3]
+    ho, wo = map_x.shape
     f32 = jnp.float32
 
     ix = jnp.floor(map_x).astype(jnp.int32)
@@ -160,23 +171,40 @@ def remap_bilinear_u8(image: jax.Array, map_x: jax.Array, map_y: jax.Array) -> j
     fx = map_x.astype(f32) - ix.astype(f32)
     fy = map_y.astype(f32) - iy.astype(f32)
 
-    flat = image.reshape(image.shape[:-3] + (h * w, c))
+    # pad 1px of zeros: edge-adjacent out-of-bounds taps then read real
+    # zeros (BORDER_CONSTANT); anything further out is masked at the end
+    hp, wp = h + 2, w + 2
+    padded = jnp.pad(image, [(0, 0)] * len(lead) + [(1, 1), (1, 1), (0, 0)])
+    # [(H+2)*(W+2), K] with K = prod(lead)*C — taps shared across K
+    arr = padded.reshape((-1, hp * wp, c))
+    arr = jnp.moveaxis(arr, 0, 1).reshape(hp * wp, -1)
+    k = arr.shape[1]
+    packed = jnp.concatenate(
+        [
+            arr,
+            jnp.roll(arr, -1, axis=0),
+            jnp.roll(arr, -wp, axis=0),
+            jnp.roll(arr, -(wp + 1), axis=0),
+        ],
+        axis=1,
+    )  # [hp*wp, 4K]
 
-    def fetch(yy, xx):
-        inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
-        idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
-        vals = jnp.take(flat, idx.reshape(-1), axis=-2)
-        vals = vals.reshape(image.shape[:-3] + idx.shape + (c,)).astype(f32)
-        return vals * inb.astype(f32)[..., None]
+    inr = (iy >= -1) & (iy <= h - 1) & (ix >= -1) & (ix <= w - 1)
+    base = (
+        jnp.clip(iy + 1, 0, hp - 2) * wp + jnp.clip(ix + 1, 0, wp - 2)
+    ).reshape(-1)
 
-    w00 = ((1 - fx) * (1 - fy))[..., None]
-    w01 = (fx * (1 - fy))[..., None]
-    w10 = ((1 - fx) * fy)[..., None]
-    w11 = (fx * fy)[..., None]
-    acc = (
-        fetch(iy, ix) * w00
-        + fetch(iy, ix + 1) * w01
-        + fetch(iy + 1, ix) * w10
-        + fetch(iy + 1, ix + 1) * w11
-    )
-    return round_u8(acc)
+    rows = jnp.take(packed, base, axis=0)  # [N, 4K]
+    taps = rows.reshape(ho * wo, 4, k).astype(f32)
+
+    w00 = ((1 - fx) * (1 - fy)).reshape(-1, 1)
+    w01 = (fx * (1 - fy)).reshape(-1, 1)
+    w10 = ((1 - fx) * fy).reshape(-1, 1)
+    w11 = (fx * fy).reshape(-1, 1)
+    acc = taps[:, 0] * w00 + taps[:, 1] * w01 + taps[:, 2] * w10 + taps[:, 3] * w11
+    acc = acc * inr.reshape(-1, 1).astype(f32)
+
+    # [N, K] -> [..., Ho, Wo, C]
+    out = acc.reshape(ho * wo, -1, c)
+    out = jnp.moveaxis(out, 1, 0).reshape(lead + (ho, wo, c))
+    return round_u8(out)
