@@ -78,7 +78,7 @@ class RawImagePipeline:
     def _pipeline_for(self, shape, encoding) -> BuiltPipeline:
         wb = self._config.white_balance
         with_state = wb.enabled and wb.method == "ccc" and wb.temporal_consistency
-        key = (shape, encoding, with_state)
+        key = (shape, encoding, with_state, self._debug)
         pipe = self._cache.get(key)
         if pipe is None:
             frame_hw = shape[1], shape[2]
@@ -88,6 +88,7 @@ class RawImagePipeline:
                 frame_hw=frame_hw,
                 with_state=with_state,
                 keep_intermediates=True,
+                debug=self._debug,
             )
             self._cache[key] = pipe
         return pipe
@@ -106,7 +107,26 @@ class RawImagePipeline:
         self._last_outputs = {
             k: np.asarray(v[0] if single else v) for k, v in outputs.items()
         }
+        if self._debug:
+            self._write_debug_dumps()
         return self._last_outputs["processed"]
+
+    def _write_debug_dumps(self):
+        """Write per-stage dumps like the reference's saveDebugImage:
+        min-max normalized PNGs at /tmp/0N_<stage>.png
+        (raw_image_pipeline.hpp:179-199)."""
+        try:
+            import cv2
+        except ImportError:
+            return
+        for key, img in self._last_outputs.items():
+            if not key.startswith("debug/"):
+                continue
+            frame = img[0] if img.ndim == 4 else img
+            f = frame.astype(np.float64)
+            lo, hi = f.min(), f.max()
+            norm = (f - lo) * (255.0 / (hi - lo)) if hi > lo else f
+            cv2.imwrite(f"/tmp/{key.split('/')[1]}.png", norm.astype(np.uint8))
 
     # ------------------------------------------------------------------
     # main interfaces (raw_image_pipeline.hpp:40-56)

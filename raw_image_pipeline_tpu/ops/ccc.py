@@ -171,6 +171,17 @@ def response_argmax(response: jax.Array) -> jax.Array:
     return jnp.stack([col, row], axis=-1)
 
 
+def gains_from_offsets(lu: float, lv: float, uv0: float = UV0) -> jax.Array:
+    """Debug-UV-offset mode gains (setDebugUVOffset, ccc.cpp:349-357):
+    Lu = lu - uv0, Lv = lv - uv0, then the same gain math as gains_from_uv."""
+    Lu = lu - uv0
+    Lv = lv - uv0
+    gain_r = float(np.exp(Lu))
+    gain_b = float(np.exp(Lv))
+    gains = np.array([gain_b, 1.0, gain_r], np.float32)
+    return jnp.asarray(gains / gains.min())
+
+
 def gains_from_uv(uv_pos: jax.Array, uv0: float = UV0) -> jax.Array:
     """uv_pos [..., 2] int (x, y) -> [..., 3] float32 BGR gains
     (ccc.cpp:342-381; z forced to 1, min-normalized)."""

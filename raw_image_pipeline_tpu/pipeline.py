@@ -192,7 +192,13 @@ def make_params(
     )
 
 
-def make_isp_fn(config: PipelineConfig, encoding: str, with_state: bool, keep_intermediates: bool = True):
+def make_isp_fn(
+    config: PipelineConfig,
+    encoding: str,
+    with_state: bool,
+    keep_intermediates: bool = True,
+    debug: bool = False,
+):
     """Trace-time assembly of the chain for a fixed encoding.
 
     Returns fn(params, pixels, state) -> (outputs, new_state) where outputs
@@ -200,6 +206,12 @@ def make_isp_fn(config: PipelineConfig, encoding: str, with_state: bool, keep_in
     snapshots: "debayered" (post-flip, = getDistDebayeredImage via the flip
     module, raw_image_pipeline.cpp:225-227) and "dist_color" (pre-undistort,
     = getDistColorImage, undistortion.hpp:66-71).
+
+    With debug=True, every stage output is additionally returned under
+    "debug/0N_<stage>" keys mirroring the reference's saveDebugImage dump
+    points (raw_image_pipeline.hpp:144-172). Each stage is wrapped in a
+    jax.named_scope so traces from jax.profiler attribute time per ISP
+    stage.
     """
     deb = config.debayer
     wb = config.white_balance
@@ -222,73 +234,100 @@ def make_isp_fn(config: PipelineConfig, encoding: str, with_state: bool, keep_in
         outputs: Dict[str, jax.Array] = {}
         img = pixels
 
+        def dump(name, value):
+            # reference stage dump points: /tmp/0N_<name>.png
+            # (raw_image_pipeline.hpp:144-172)
+            if debug:
+                outputs["debug/" + name] = value
+
         # 1. debayer — always runs; per-call encoding decides (quirk §8.1)
-        if encoding in BAYER_ENCODINGS:
-            img = debayer(img, encoding, deb.algorithm)
-            if deb.algorithm == "bilinear":
-                # reference CPU path swaps R<->B after demosaic (debayer.cpp:49-52)
+        with jax.named_scope("isp_debayer"):
+            if encoding in BAYER_ENCODINGS:
+                img = debayer(img, encoding, deb.algorithm)
+                if deb.algorithm == "bilinear":
+                    # reference CPU path swaps R<->B after demosaic
+                    # (debayer.cpp:49-52)
+                    img = img[..., ::-1]
+            elif encoding == "rgb8":
                 img = img[..., ::-1]
-        elif encoding == "rgb8":
-            img = img[..., ::-1]
-        # other encodings pass through untouched (debayer.cpp:75)
+            # other encodings pass through untouched (debayer.cpp:75)
+        dump("00_debayer", img)
 
         # 2. flip
-        if config.flip.enabled:
-            img = flip_op(img, config.flip.angle)
+        with jax.named_scope("isp_flip"):
+            if config.flip.enabled:
+                img = flip_op(img, config.flip.angle)
         if keep_intermediates:
             outputs["debayered"] = img  # flip-module snapshot (flip.cpp:59-61)
+        dump("01_flip", img)
 
         # 3. white balance
-        if wb.enabled:
-            if use_ccc:
-                small = ccc_ops.resize_linear_u8(img, ccc_ops.SMALL_H, ccc_ops.SMALL_W)
-                hist = ccc_ops.log_chroma_histogram(
-                    small, wb.saturation_bright_thr, wb.saturation_dark_thr
-                )
-                resp = ccc_ops.ccc_response(
-                    hist, params.ccc_filt_dft_re, params.ccc_filt_dft_im,
-                    params.ccc_bias,
-                )
-                uv = ccc_ops.response_argmax(resp)
-                if use_kalman:
-                    state, uv = ccc_ops.kalman_update(state, uv)
-                gains = ccc_ops.gains_from_uv(uv)
-                img = ccc_ops.apply_gains(img, gains)
-            elif wb.method == "simple":
-                img = balance_white_simple(img, wb.clipping_percentile)
-            elif wb.method in ("grey_world", "gray_world"):
-                img = balance_white_grey_world(img, wb.saturation_bright_thr)
-            elif wb.method == "learned":
-                img = balance_white_learned(img, wb.saturation_bright_thr)
-            elif wb.method == "pca":
-                img = balance_white_pca(img)
-            else:
-                raise ValueError(f"White Balance method [{wb.method}] not supported")
+        with jax.named_scope("isp_white_balance"):
+            if wb.enabled:
+                if use_ccc:
+                    small = ccc_ops.resize_linear_u8(
+                        img, ccc_ops.SMALL_H, ccc_ops.SMALL_W
+                    )
+                    hist = ccc_ops.log_chroma_histogram(
+                        small, wb.saturation_bright_thr, wb.saturation_dark_thr
+                    )
+                    resp = ccc_ops.ccc_response(
+                        hist, params.ccc_filt_dft_re, params.ccc_filt_dft_im,
+                        params.ccc_bias,
+                    )
+                    uv = ccc_ops.response_argmax(resp)
+                    if use_kalman:
+                        state, uv = ccc_ops.kalman_update(state, uv)
+                    gains = ccc_ops.gains_from_uv(uv)
+                    img = ccc_ops.apply_gains(img, gains)
+                elif wb.method == "simple":
+                    img = balance_white_simple(img, wb.clipping_percentile)
+                elif wb.method in ("grey_world", "gray_world"):
+                    img = balance_white_grey_world(img, wb.saturation_bright_thr)
+                elif wb.method == "learned":
+                    img = balance_white_learned(img, wb.saturation_bright_thr)
+                elif wb.method == "pca":
+                    img = balance_white_pca(img)
+                else:
+                    raise ValueError(
+                        f"White Balance method [{wb.method}] not supported"
+                    )
+        dump("02_white_balancing", img)
 
         # 4. color calibration
-        if config.color_calibration.enabled:
-            img = color_correct(img, params.color_matrix, params.color_bias)
+        with jax.named_scope("isp_color_calibration"):
+            if config.color_calibration.enabled:
+                img = color_correct(img, params.color_matrix, params.color_bias)
+        dump("03_color_calibration", img)
 
         # 5. gamma
-        if config.gamma_correction.enabled:
-            img = gamma_apply(
-                img, params.gamma_k, params.gamma_corr_idx, params.gamma_corr_val
-            )
+        with jax.named_scope("isp_gamma"):
+            if config.gamma_correction.enabled:
+                img = gamma_apply(
+                    img, params.gamma_k, params.gamma_corr_idx, params.gamma_corr_val
+                )
+        dump("04_gamma_correction", img)
 
         # 6. vignetting
-        if config.vignetting_correction.enabled:
-            img = vignetting_correct(img, params.vignetting_mask)
+        with jax.named_scope("isp_vignetting"):
+            if config.vignetting_correction.enabled:
+                img = vignetting_correct(img, params.vignetting_mask)
+        dump("05_vignetting_correction", img)
 
         # 7. color enhancer
-        if config.color_enhancer.enabled:
-            img = enhance(img, params.enhancer_gains)
+        with jax.named_scope("isp_color_enhancer"):
+            if config.color_enhancer.enabled:
+                img = enhance(img, params.enhancer_gains)
+        dump("06_color_enhancer", img)
 
         # 8. undistortion — the pre-undistort snapshot is taken whether or
         # not the remap runs (undistortion.hpp:66-78)
         if keep_intermediates:
             outputs["dist_color"] = img
-        if run_undist:
-            img = remap_bilinear_u8(img, params.map_x, params.map_y)
+        with jax.named_scope("isp_undistortion"):
+            if run_undist:
+                img = remap_bilinear_u8(img, params.map_x, params.map_y)
+        dump("07_undistortion", img)
 
         outputs["processed"] = img
         return outputs, state
@@ -304,6 +343,7 @@ def build_pipeline(
     keep_intermediates: bool = False,
     ccc_model: Optional[CCCModel] = None,
     donate: bool = False,
+    debug: bool = False,
 ) -> BuiltPipeline:
     """Build and jit the full ISP for one configuration.
 
@@ -320,6 +360,6 @@ def build_pipeline(
     ):
         ccc_model = load_ccc_model(config.white_balance.ccc_model_path)
     params = make_params(config, frame_hw, ccc_model)
-    raw_fn = make_isp_fn(config, encoding, with_state, keep_intermediates)
+    raw_fn = make_isp_fn(config, encoding, with_state, keep_intermediates, debug)
     jitted = jax.jit(raw_fn, donate_argnums=(1,) if donate else ())
     return BuiltPipeline(config=config, params=params, ccc_model=ccc_model, fn=jitted)

@@ -44,17 +44,26 @@ def main(argv=None):
     ap.add_argument("--output-encoding", default="BGR", choices=["BGR", "RGB"])
     ap.add_argument("--skip-slow", type=int, default=0,
                     help="emit a color/slow stream every N frames (ROS /slow topics)")
+    ap.add_argument("--raw-shape", default=None,
+                    help="treat *.raw inputs as headerless HxW (e.g. 540x720) "
+                         "8-bit frames, streamed by the native C++ frame pump")
     args = ap.parse_args(argv)
 
+    raw_mode = args.raw_shape is not None
+    exts = ("raw",) if raw_mode else ("png", "jpg", "jpeg", "tiff")
     paths = sorted(
-        p for ext in ("png", "jpg", "jpeg", "tiff")
+        p for ext in exts
         for p in glob.glob(os.path.join(args.input_dir, f"*.{ext}"))
     )
     if not paths:
         raise SystemExit(f"no frames found in {args.input_dir}")
 
     api = RawImagePipeline(False, args.params, args.calibration, args.color_calibration)
-    first = cv2.imread(paths[0], cv2.IMREAD_UNCHANGED)
+    if raw_mode:
+        h, w = (int(x) for x in args.raw_shape.lower().split("x"))
+        first = np.zeros((h, w), np.uint8)
+    else:
+        first = cv2.imread(paths[0], cv2.IMREAD_UNCHANGED)
 
     config = load_pipeline_params(args.params)
     config = config.replace(calibration=load_camera_calibration(args.calibration))
@@ -76,8 +85,23 @@ def main(argv=None):
         cv2.imwrite(os.path.join(d, names[idx] + ".png"), img)
 
     def frames():
-        for p in paths:
-            yield cv2.imread(p, cv2.IMREAD_UNCHANGED)
+        if raw_mode:
+            # native C++ threaded reader overlapping IO with compute
+            from raw_image_pipeline_tpu.runtime.native import (
+                FramePump,
+                native_available,
+            )
+
+            if native_available():
+                pump = FramePump(paths, first.shape, batch=args.batch)
+                for batch in pump:
+                    yield from batch
+                return
+            for p in paths:
+                yield np.fromfile(p, np.uint8, count=first.size).reshape(first.shape)
+        else:
+            for p in paths:
+                yield cv2.imread(p, cv2.IMREAD_UNCHANGED)
 
     n = runner.run(frames(), sink)
     print(f"processed {n} frames -> {args.output_dir}")
