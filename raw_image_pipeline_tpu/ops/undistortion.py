@@ -194,17 +194,22 @@ def remap_bilinear_u8(image: jax.Array, map_x: jax.Array, map_y: jax.Array) -> j
         jnp.clip(iy + 1, 0, hp - 2) * wp + jnp.clip(ix + 1, 0, wp - 2)
     ).reshape(-1)
 
-    rows = jnp.take(packed, base, axis=0)  # [N, 4K]
-    taps = rows.reshape(ho * wo, 4, k).astype(f32)
-
+    rows = jnp.take(packed, base, axis=0)  # [N, 4K] u8
+    # tap groups as column slices (a [N,4,K] reshape gets a tile-padded
+    # layout); blend in f32, round to u8 before the output transpose so the
+    # transposed temp is 4x smaller
     w00 = ((1 - fx) * (1 - fy)).reshape(-1, 1)
     w01 = (fx * (1 - fy)).reshape(-1, 1)
     w10 = ((1 - fx) * fy).reshape(-1, 1)
     w11 = (fx * fy).reshape(-1, 1)
-    acc = taps[:, 0] * w00 + taps[:, 1] * w01 + taps[:, 2] * w10 + taps[:, 3] * w11
-    acc = acc * inr.reshape(-1, 1).astype(f32)
+    acc = (
+        rows[:, 0:k].astype(f32) * w00
+        + rows[:, k:2 * k].astype(f32) * w01
+        + rows[:, 2 * k:3 * k].astype(f32) * w10
+        + rows[:, 3 * k:4 * k].astype(f32) * w11
+    ) * inr.reshape(-1, 1).astype(f32)
+    out_u8 = round_u8(acc)  # [N, K]
 
-    # [N, K] -> [..., Ho, Wo, C]
-    out = acc.reshape(ho * wo, -1, c)
+    out = out_u8.reshape(ho * wo, -1, c)
     out = jnp.moveaxis(out, 1, 0).reshape(lead + (ho, wo, c))
-    return round_u8(out)
+    return out
