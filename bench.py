@@ -161,7 +161,16 @@ def cpu_fps(iters=6, h=1080, w=1920):
 
 def main():
     cpu = cpu_fps()
-    tpu, lat_ms = tpu_fps()
+    # the axon compile helper occasionally restarts; one retry covers it
+    for attempt in range(2):
+        try:
+            tpu, lat_ms = tpu_fps()
+            break
+        except Exception as e:
+            log(f"tpu attempt {attempt} failed: {e}")
+            if attempt == 1:
+                raise
+            time.sleep(30)
     print(json.dumps({
         "metric": "frames_per_sec_per_chip_1080p_full_isp",
         "value": round(tpu, 2),

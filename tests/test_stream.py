@@ -1,0 +1,73 @@
+"""StreamRunner: stream outputs, slow decimation, reset service, camera_info."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from raw_image_pipeline_tpu.config import PipelineConfig
+from raw_image_pipeline_tpu.runtime.stream import StreamRunner, make_camera_infos
+
+
+def _config(undistort=False):
+    cfg = PipelineConfig()
+    return PipelineConfig(
+        white_balance=dataclasses.replace(
+            cfg.white_balance, enabled=True, method="ccc", temporal_consistency=True
+        ),
+    )
+
+
+@pytest.fixture()
+def frames():
+    rng = np.random.default_rng(0)
+    return [rng.integers(0, 256, (32, 48), np.uint8) for _ in range(7)]
+
+
+def test_stream_outputs_and_slow(frames):
+    runner = StreamRunner(_config(), "bayer_gbrg8", (32, 48), batch_size=3,
+                          slow_skip=2)
+    got = {}
+    n = runner.run(iter(frames), lambda s, i, img: got.setdefault(s, []).append(i))
+    assert n == 7
+    assert got["color"] == list(range(7))
+    assert got["debayered"] == list(range(7))
+    # slow stream decimated by skip=2 (every 3rd frame)
+    assert len(got["color/slow"]) == 2
+
+
+def test_stream_reset_white_balance(frames):
+    runner = StreamRunner(_config(), "bayer_gbrg8", (32, 48), batch_size=2)
+    outs1 = []
+    runner.run(iter(frames[:2]), lambda s, i, img: outs1.append(img) if s == "color" else None)
+    state_after = runner.state
+    runner.reset_white_balance()
+    assert not np.asarray(runner.state.initialized).any()
+    assert np.asarray(state_after.initialized).all()
+
+
+def test_rgb_output_encoding(frames):
+    runner = StreamRunner(_config(), "bayer_gbrg8", (32, 48), batch_size=4,
+                          output_encoding="RGB")
+    bgr_runner = StreamRunner(_config(), "bayer_gbrg8", (32, 48), batch_size=4)
+    a, b = [], []
+    runner.run(iter(frames[:2]), lambda s, i, img: a.append(img) if s == "color" else None)
+    bgr_runner.run(iter(frames[:2]), lambda s, i, img: b.append(img) if s == "color" else None)
+    np.testing.assert_array_equal(a[0], b[0][..., ::-1])
+
+
+def test_camera_infos():
+    from raw_image_pipeline_tpu import RawImagePipeline
+    from raw_image_pipeline_tpu.config import (
+        DEFAULT_CALIBRATION_PATH,
+        DEFAULT_PARAMS_PATH,
+    )
+
+    api = RawImagePipeline(False, DEFAULT_PARAMS_PATH, DEFAULT_CALIBRATION_PATH, "")
+    infos = make_camera_infos(api)
+    assert infos["dist"].distortion_model == "equidistant"
+    # rectified stream reports no distortion; model string fixed to
+    # plumb_bob like the reference (raw_image_pipeline_ros.cpp:318-320)
+    assert infos["rect"].distortion_model == "plumb_bob"
+    assert infos["rect"].D == [0.0, 0.0, 0.0, 0.0]
+    assert infos["dist"].width == 720
