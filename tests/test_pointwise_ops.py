@@ -116,12 +116,22 @@ def test_bgr2gray_f32_exact():
     np.testing.assert_allclose(out, ref, atol=1e-3, rtol=0)
 
 
-def test_lab_roundtrip_tolerance():
-    img = rand_img((128, 96, 3), 8)
+def test_lab_forward_near_exact():
+    """Forward Lab: rounded-table integer path matches cv2 at 99.99%
+    (residual +-1 from cv2's interpolated tables at ~1e-4 rate)."""
+    img = rand_img((512, 384, 3), 8)
     lab_ref = cv2.cvtColor(img, cv2.COLOR_BGR2Lab)
     lab = np.asarray(cs.bgr_to_lab_u8(img))
     d = np.abs(lab.astype(int) - lab_ref.astype(int))
-    assert d.max() <= 2, f"Lab fwd diff {d.max()}"
+    assert d.max() <= 1, f"Lab fwd diff {d.max()}"
+    assert (d > 0).mean() < 1e-3
+    # L channel is exact
+    np.testing.assert_array_equal(lab[..., 0], lab_ref[..., 0])
+
+
+def test_lab_inverse_tolerance():
+    img = rand_img((128, 96, 3), 8)
+    lab_ref = cv2.cvtColor(img, cv2.COLOR_BGR2Lab)
     back_ref = cv2.cvtColor(lab_ref, cv2.COLOR_Lab2BGR)
     back = np.asarray(cs.lab_to_bgr_u8(lab_ref))
     d2 = np.abs(back.astype(int) - back_ref.astype(int))
