@@ -63,6 +63,11 @@ class DebayerConfig:
     # swap quirk, debayer.cpp:49-74); "mht" matches the reference GPU path
     # (Malvar-He-Cutler, debayer.cpp:89-120).
     algorithm: str = "bilinear"
+    # TPU extension: 16-bit Bayer handling. "error" replicates the reference
+    # (16-bit patterns are listed but unimplemented there and throw,
+    # debayer.hpp:74-81); "scale8" demosaics at 16 bits then scales to the
+    # 8-bit chain (>>8).
+    bayer16: str = "error"
 
 
 @dataclass(frozen=True)

@@ -56,6 +56,13 @@ ENCODING_TO_CV_CODE = {
 
 BAYER_ENCODINGS = tuple(ENCODING_TO_CV_CODE)
 
+# 16-bit patterns: listed by the reference but unimplemented there
+# (debayer.hpp:74-81 — SURVEY.md §8.2). Supported here as a TPU extension
+# via debayer_bilinear16 when DebayerConfig.bayer16 != "error".
+BAYER16_ENCODINGS = (
+    "bayer_bggr16", "bayer_gbrg16", "bayer_grbg16", "bayer_rggb16",
+)
+
 
 def phase_for_encoding(encoding: str) -> str:
     """Physical CFA phase (channel of sample (0,0) etc.) for a ROS encoding,
@@ -208,9 +215,42 @@ def debayer_mht(bayer: jax.Array, phase: str) -> jax.Array:
     return saturate_u8(out)
 
 
+@partial(jax.jit, static_argnames=("phase",))
+def debayer_bilinear16(bayer: jax.Array, phase: str) -> jax.Array:
+    """Bilinear demosaic for 16-bit raw frames (TPU extension — the
+    reference only lists these patterns and throws, debayer.hpp:74-81).
+    Same interpolation/rounding as the 8-bit path, int32 internals.
+
+    bayer: [..., H, W] uint16 -> [..., H, W, 3] uint16 BGR.
+    """
+    h, w = bayer.shape[-2], bayer.shape[-1]
+    x = bayer.astype(jnp.int32)
+    n, s, wv, e, nw, ne, sw, se = _shifts(x)
+
+    v2 = avg2(n, s)
+    h2 = avg2(wv, e)
+    n4 = avg4(n, s, wv, e)
+    d4 = avg4(nw, ne, sw, se)
+
+    r_site, g_r_row, g_b_row, b_site = _site_masks(h, w, phase)
+    g_site = g_r_row | g_b_row
+
+    g = jnp.where(g_site, x, n4)
+    r = jnp.where(r_site, x, jnp.where(g_r_row, h2, jnp.where(g_b_row, v2, d4)))
+    b = jnp.where(b_site, x, jnp.where(g_b_row, h2, jnp.where(g_r_row, v2, d4)))
+
+    out = jnp.stack([b, g, r], axis=-1)
+    out = _replicate_border(out)
+    return jnp.clip(out, 0, 65535).astype(jnp.uint16)
+
+
 def debayer(bayer: jax.Array, encoding: str, algorithm: str = "bilinear") -> jax.Array:
     """Demosaic by ROS encoding name, in cv2 channel conventions (BGR out,
     before the reference's CPU R<->B swap quirk)."""
+    if encoding in BAYER16_ENCODINGS:
+        phase = _CV_PHASE[{"bayer_bggr16": "bg", "bayer_gbrg16": "gb",
+                           "bayer_grbg16": "gr", "bayer_rggb16": "rg"}[encoding]]
+        return debayer_bilinear16(bayer, phase)
     phase = phase_for_encoding(encoding)
     if algorithm == "bilinear":
         return debayer_bilinear(bayer, phase)

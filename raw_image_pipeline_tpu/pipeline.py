@@ -218,7 +218,9 @@ def make_isp_fn(
     use_ccc = wb.enabled and wb.method == "ccc"
     use_kalman = use_ccc and wb.temporal_consistency and with_state
 
-    if encoding in _UNSUPPORTED_BAYER:
+    if encoding in _UNSUPPORTED_BAYER and deb.bayer16 == "error":
+        # reference behavior (debayer.cpp:76-78); set DebayerConfig.bayer16
+        # to "scale8" for the 16-bit extension
         raise ValueError(
             f"Encoding [{encoding}] is a valid pattern but is not supported!"
         )
@@ -247,6 +249,13 @@ def make_isp_fn(
                 if deb.algorithm == "bilinear":
                     # reference CPU path swaps R<->B after demosaic
                     # (debayer.cpp:49-52)
+                    img = img[..., ::-1]
+            elif encoding in _UNSUPPORTED_BAYER:
+                # 16-bit extension: demosaic at full depth, scale into the
+                # 8-bit chain
+                img = debayer(img, encoding)
+                img = (img >> 8).astype(jnp.uint8)
+                if deb.algorithm == "bilinear":
                     img = img[..., ::-1]
             elif encoding == "rgb8":
                 img = img[..., ::-1]

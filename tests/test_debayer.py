@@ -58,3 +58,30 @@ def test_mht_reasonable():
 def test_phase_mapping():
     assert phase_for_encoding("bayer_bggr8") == "rggb"
     assert phase_for_encoding("bayer_rggb8") == "bggr"
+
+
+def test_bayer16_extension():
+    """16-bit demosaic extension (reference throws; ours demosaics at depth
+    or replicates the throw depending on DebayerConfig.bayer16)."""
+    import dataclasses
+
+    from raw_image_pipeline_tpu.config import PipelineConfig
+    from raw_image_pipeline_tpu.ops.debayer import debayer_bilinear16
+    from raw_image_pipeline_tpu.pipeline import build_pipeline
+
+    rng = np.random.default_rng(7)
+    b16 = rng.integers(0, 65536, (32, 40), np.uint16)
+    out = np.asarray(debayer_bilinear16(b16, "rggb"))
+    assert out.dtype == np.uint16 and out.shape == (32, 40, 3)
+    # sample sites pass through; interior interpolation matches the 8-bit
+    # rules scaled (compare against cv2 on the high byte for smoke)
+    assert np.array_equal(out[2:-2:2, 2:-2:2, 2], b16[2:-2:2, 2:-2:2])
+
+    cfg = PipelineConfig()
+    config = cfg.replace(debayer=dataclasses.replace(cfg.debayer, bayer16="scale8"))
+    pipe = build_pipeline(config, "bayer_bggr16", frame_hw=(32, 40))
+    res, _ = pipe(b16[None])
+    got = np.asarray(res["processed"])[0]
+    assert got.dtype == np.uint8
+    # scaled result equals the >>8 of the 16-bit demosaic (plus CPU swap)
+    np.testing.assert_array_equal(got, (out >> 8).astype(np.uint8)[..., ::-1])
