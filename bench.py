@@ -159,6 +159,53 @@ def cpu_fps(iters=6, h=1080, w=1920):
     return fps
 
 
+def tpu_scaling(h=1080, w=1920, per_dev_batch=16):
+    """Data-parallel scaling efficiency when >1 device is attached (the
+    BASELINE >=80% multi-host target); no-op on single-chip hosts."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import __graft_entry__ as ge
+    from raw_image_pipeline_tpu.parallel.mesh import make_mesh
+    from raw_image_pipeline_tpu.pipeline import build_pipeline
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        return None
+    config = ge._full_config((h, w))
+    pipe = build_pipeline(config, "bayer_gbrg8", frame_hw=(h, w))
+    rng = np.random.default_rng(0)
+
+    def run_on(devices):
+        mesh = make_mesh(devices)
+        n = len(devices)
+        batch = per_dev_batch * n
+        shard = NamedSharding(mesh, P("data", None, None))
+        px = jax.device_put(
+            rng.integers(0, 256, (batch, h, w), np.uint8), shard
+        )
+        params = jax.device_put(pipe.params)
+        step = jax.jit(
+            lambda p, x: jnp.sum(pipe.fn(p, x, None)[0]["processed"],
+                                 dtype=jnp.int32)
+        )
+        np.asarray(step(params, px))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(step(params, px))
+            ts.append(time.perf_counter() - t0)
+        return batch / min(ts)
+
+    f1 = run_on(devs[:1])
+    fn = run_on(devs)
+    eff = fn / (f1 * len(devs))
+    log(f"scaling: 1 dev {f1:.1f} fps, {len(devs)} devs {fn:.1f} fps, "
+        f"efficiency {eff:.2%}")
+    return eff
+
+
 def main():
     cpu = cpu_fps()
     # the axon compile helper occasionally restarts; one retry covers it
@@ -171,6 +218,10 @@ def main():
             if attempt == 1:
                 raise
             time.sleep(30)
+    try:
+        tpu_scaling()
+    except Exception as e:
+        log(f"scaling measurement skipped: {e}")
     print(json.dumps({
         "metric": "frames_per_sec_per_chip_1080p_full_isp",
         "value": round(tpu, 2),

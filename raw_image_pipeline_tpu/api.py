@@ -21,7 +21,6 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from raw_image_pipeline_tpu import config as cfg
-from raw_image_pipeline_tpu.models.ccc_model import load_ccc_model
 from raw_image_pipeline_tpu.pipeline import (
     BuiltPipeline,
     build_pipeline,

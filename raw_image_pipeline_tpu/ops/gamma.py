@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from raw_image_pipeline_tpu.ops.lut import MAX_CORR, derive_corrections
+from raw_image_pipeline_tpu.ops.lut import derive_corrections
 
 
 def build_gamma_lut(k: float) -> np.ndarray:

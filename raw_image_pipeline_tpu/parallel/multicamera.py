@@ -15,10 +15,9 @@ method, frame size) — that is what keeps one trace; per-camera *values*
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
-import numpy as np
 
 from raw_image_pipeline_tpu.config import CameraCalibration, PipelineConfig
 from raw_image_pipeline_tpu.ops import ccc as ccc_ops

@@ -35,13 +35,11 @@ Reference-behavior notes (SURVEY.md §8):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from raw_image_pipeline_tpu.config import PipelineConfig
 from raw_image_pipeline_tpu.models.ccc_model import CCCModel, load_ccc_model

@@ -19,8 +19,7 @@ reference's /slow topics (raw_image_pipeline_ros.cpp:337-360).
 from __future__ import annotations
 
 import dataclasses
-import os
-from typing import Callable, Dict, Iterable, Iterator, List, Optional
+from typing import Callable, Dict, Iterable, List
 
 import numpy as np
 

@@ -10,7 +10,6 @@ import argparse
 import os
 
 import cv2
-import numpy as np
 
 from raw_image_pipeline_tpu import RawImagePipeline
 from raw_image_pipeline_tpu.config import (
