@@ -254,6 +254,16 @@ def debayer(bayer: jax.Array, encoding: str, algorithm: str = "bilinear") -> jax
     phase = phase_for_encoding(encoding)
     if algorithm == "bilinear":
         return debayer_bilinear(bayer, phase)
+    if algorithm == "bilinear_pallas":
+        # hand-written banded-DMA kernel; bit-identical to "bilinear".
+        # The XLA path stays the default because it fuses into the
+        # surrounding chain; the kernel is the right base for a future
+        # fused demosaic+pointwise mega-kernel.
+        from raw_image_pipeline_tpu.ops.debayer_pallas import (
+            debayer_bilinear_pallas_nhwc,
+        )
+
+        return debayer_bilinear_pallas_nhwc(bayer, phase)
     if algorithm == "mht":
         return debayer_mht(bayer, phase)
     raise ValueError(f"Unknown demosaic algorithm: {algorithm}")

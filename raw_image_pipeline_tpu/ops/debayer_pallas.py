@@ -32,29 +32,33 @@ from raw_image_pipeline_tpu.ops.debayer import _site_masks
 TILE = 128
 
 
+BAND = TILE + 8  # DMA row slices must be 8-aligned; 6 trailing rows unused
+
+
 def _kernel(phase: str, h: int, w: int, x_hbm, out_ref, band, sem):
     b = pl.program_id(0)
     t = pl.program_id(1)
 
-    # DMA the halo band: padded rows [t*TILE, t*TILE + TILE + 2)
+    # DMA the (8-aligned) halo band: padded rows [t*TILE, t*TILE + BAND)
     dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(t * TILE, TILE + 2), :],
+        x_hbm.at[b, pl.ds(t * TILE, BAND), :],
         band,
         sem,
     )
     dma.start()
     dma.wait()
 
-    x = band[:].astype(jnp.int16)  # [TILE+2, W+2] (padded left/right too)
-    c = x[1:-1, 1:-1]
-    n = x[:-2, 1:-1]
-    s = x[2:, 1:-1]
-    wv = x[1:-1, :-2]
-    e = x[1:-1, 2:]
-    nw = x[:-2, :-2]
-    ne = x[:-2, 2:]
-    sw = x[2:, :-2]
-    se = x[2:, 2:]
+    x = band[:].astype(jnp.int32)  # [BAND, WP] (1px halo + lane padding)
+    m = TILE + 2
+    c = x[1:m - 1, 1:w + 1]
+    n = x[0:m - 2, 1:w + 1]
+    s = x[2:m, 1:w + 1]
+    wv = x[1:m - 1, 0:w]
+    e = x[1:m - 1, 2:w + 2]
+    nw = x[0:m - 2, 0:w]
+    ne = x[0:m - 2, 2:w + 2]
+    sw = x[2:m, 0:w]
+    se = x[2:m, 2:w + 2]
 
     v2 = (n + s + 1) >> 1
     h2 = (wv + e + 1) >> 1
@@ -81,7 +85,11 @@ def debayer_bilinear_pallas(bayer: jax.Array, phase: str) -> jax.Array:
     including border replication). H must be a multiple of TILE."""
     bsz, h, w = bayer.shape
     assert h % TILE == 0, f"H={h} must be a multiple of {TILE}"
-    padded = jnp.pad(bayer, [(0, 0), (1, 1), (1, 1)])
+    # 1px halo, extra zero rows so every 8-aligned band slice is in
+    # range, and the lane dim rounded up to a 128 multiple (DMA slices must
+    # align to the (8, 128) tiling)
+    wp = -(-(w + 2) // 128) * 128
+    padded = jnp.pad(bayer, [(0, 0), (1, BAND - TILE - 1), (1, wp - w - 1)])
 
     out = pl.pallas_call(
         partial(_kernel, phase, h, w),
@@ -92,7 +100,7 @@ def debayer_bilinear_pallas(bayer: jax.Array, phase: str) -> jax.Array:
             (1, 3, TILE, w), lambda b, t: (b, 0, t, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((TILE + 2, w + 2), jnp.uint8),
+            pltpu.VMEM((BAND, wp), jnp.uint8),
             pltpu.SemaphoreType.DMA,
         ],
     )(padded)

@@ -260,17 +260,25 @@ def make_isp_fn(
             # other encodings pass through untouched (debayer.cpp:75)
         dump("00_debayer", img)
 
+        # mono frames (e.g. "mono8" passthrough): the reference skips WB for
+        # non-3-channel images (white_balance.hpp:50-52); the other color
+        # stages would crash its cv ops outright, so they are skipped too
+        is_color = img.ndim >= 3 and img.shape[-1] == 3
+
         # 2. flip
         with jax.named_scope("isp_flip"):
             if config.flip.enabled:
-                img = flip_op(img, config.flip.angle)
+                img = flip_op(
+                    img, config.flip.angle,
+                    spatial_axes=(-3, -2) if is_color else (-2, -1),
+                )
         if keep_intermediates:
             outputs["debayered"] = img  # flip-module snapshot (flip.cpp:59-61)
         dump("01_flip", img)
 
         # 3. white balance
         with jax.named_scope("isp_white_balance"):
-            if wb.enabled:
+            if wb.enabled and is_color:
                 if use_ccc:
                     small = ccc_ops.resize_linear_u8(
                         img, ccc_ops.SMALL_H, ccc_ops.SMALL_W
