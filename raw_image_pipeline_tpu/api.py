@@ -98,7 +98,12 @@ class RawImagePipeline:
         wb = self._config.white_balance
         with_state = wb.enabled and wb.method == "ccc" and wb.temporal_consistency
         pipe = self._pipeline_for(batch.shape, encoding)
-        if with_state and self._state is None:
+        if with_state and (
+            self._state is None
+            or self._state.x.shape[0] != batch.shape[0]
+        ):
+            # (re)initialize per-slot illuminant tracks; a batch-size change
+            # redefines which stream each slot belongs to
             self._state = init_state((batch.shape[0],))
         outputs, new_state = pipe(batch, self._state)
         if with_state:

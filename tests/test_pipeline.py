@@ -192,3 +192,57 @@ def test_batch_equals_loop(bayer_frame):
         np.testing.assert_array_equal(
             np.asarray(out["processed"])[i], np.asarray(solo["processed"])[0]
         )
+
+
+def test_mono_passthrough_skips_color_stages():
+    """mono8-style input: WB/color stages skip (white_balance.hpp:50-52);
+    flip and gamma still apply."""
+    import dataclasses
+
+    from raw_image_pipeline_tpu.ops.gamma import build_gamma_lut
+
+    cfg = PipelineConfig()
+    config = PipelineConfig(
+        flip=dataclasses.replace(cfg.flip, enabled=True, angle=180),
+        white_balance=dataclasses.replace(cfg.white_balance, enabled=True,
+                                          method="grey_world"),
+        gamma_correction=dataclasses.replace(cfg.gamma_correction, enabled=True,
+                                             k=0.8),
+    )
+    rng = np.random.default_rng(0)
+    mono = rng.integers(0, 256, (2, 24, 32), np.uint8)
+    pipe = build_pipeline(config, "mono8", frame_hw=(24, 32))
+    out, _ = pipe(mono)
+    got = np.asarray(out["processed"])
+    lut = build_gamma_lut(0.8)
+    ref = lut[mono[:, ::-1, ::-1]]
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_flip90_with_undistortion(bayer_frame):
+    """flip 90 swaps H/W; the calibration-sized maps still index the flipped
+    frame with clamp+mask semantics like cv::remap would."""
+    pipe = RawImagePipeline(False, DEFAULT_PARAMS_PATH, DEFAULT_CALIBRATION_PATH,
+                            DEFAULT_COLOR_CALIBRATION_PATH)
+    pipe.set_white_balance(False)
+    pipe.set_flip(True)
+    pipe.set_flip_angle(90)
+    out = pipe.process(bayer_frame, "bayer_gbrg8")
+    # output is map-shaped (540x720) regardless of the flipped input
+    assert out.shape == (540, 720, 3)
+
+    img = cv2.demosaicing(bayer_frame, cv2.COLOR_BayerGB2BGR)
+    img = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+    img = cv2.flip(cv2.transpose(img), 1)
+    calib = load_camera_calibration(DEFAULT_CALIBRATION_PATH)
+    newK = cv2.fisheye.estimateNewCameraMatrixForUndistortRectify(
+        calib.K(), calib.D(), (720, 540), calib.R(), balance=0.0,
+        new_size=(720, 540), fov_scale=0.8,
+    )
+    mx, my = cv2.fisheye.initUndistortRectifyMap(
+        calib.K(), calib.D(), calib.R(), newK, (720, 540), cv2.CV_32F
+    )
+    golden = cv2.remap(img, mx, my, cv2.INTER_LINEAR,
+                       borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    d = np.abs(out.astype(int) - golden.astype(int))
+    assert d.max() <= 1
