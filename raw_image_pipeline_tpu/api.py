@@ -97,23 +97,35 @@ class RawImagePipeline:
         batch = image[None] if single else image
         wb = self._config.white_balance
         with_state = wb.enabled and wb.method == "ccc" and wb.temporal_consistency
-        pipe = self._pipeline_for(batch.shape, encoding)
-        if with_state and (
-            self._state is None
-            or self._state.x.shape[0] != batch.shape[0]
-        ):
-            # (re)initialize per-slot illuminant tracks; a batch-size change
-            # redefines which stream each slot belongs to
-            self._state = init_state((batch.shape[0],))
-        outputs, new_state = pipe(batch, self._state)
+
         if with_state:
-            self._state = new_state
+            # temporal consistency is one sequential illuminant track, like
+            # the reference's single camera stream — a batch advances it
+            # frame by frame (use build_multicamera_pipeline for parallel
+            # per-camera tracks)
+            if self._state is None:
+                self._state = init_state((1,))
+            pipe = self._pipeline_for((1,) + batch.shape[1:], encoding)
+            outs = []
+            for i in range(batch.shape[0]):
+                o, self._state = pipe(batch[i: i + 1], self._state)
+                outs.append(o)
+            outputs = {
+                k: np.concatenate([np.asarray(o[k]) for o in outs])
+                for k in outs[0]
+            }
+        else:
+            pipe = self._pipeline_for(batch.shape, encoding)
+            outputs, _ = pipe(batch, None)
+
+        # keep device arrays; materialize lazily in the getters (the
+        # intermediates are full frames most callers never read)
         self._last_outputs = {
-            k: np.asarray(v[0] if single else v) for k, v in outputs.items()
+            k: (v[0] if single else v) for k, v in outputs.items()
         }
         if self._debug:
             self._write_debug_dumps()
-        return self._last_outputs["processed"]
+        return np.asarray(self._last_outputs["processed"])
 
     def _write_debug_dumps(self):
         """Write per-stage dumps like the reference's saveDebugImage:
@@ -126,6 +138,7 @@ class RawImagePipeline:
         for key, img in self._last_outputs.items():
             if not key.startswith("debug/"):
                 continue
+            img = np.asarray(img)
             frame = img[0] if img.ndim == 4 else img
             f = frame.astype(np.float64)
             lo, hi = f.min(), f.max()
@@ -180,14 +193,18 @@ class RawImagePipeline:
     def reset_white_balance_temporal_consistency(self) -> None:
         self._state = None
 
+    def _materialize(self, key) -> Optional[np.ndarray]:
+        v = self._last_outputs.get(key)
+        return None if v is None else np.asarray(v)
+
     def get_processed_image(self) -> Optional[np.ndarray]:
-        return self._last_outputs.get("processed")
+        return self._materialize("processed")
 
     def get_dist_debayered_image(self) -> Optional[np.ndarray]:
-        return self._last_outputs.get("debayered")
+        return self._materialize("debayered")
 
     def get_dist_color_image(self) -> Optional[np.ndarray]:
-        return self._last_outputs.get("dist_color")
+        return self._materialize("dist_color")
 
     # ------------------------------------------------------------------
     # setters (raw_image_pipeline.hpp:66-104)

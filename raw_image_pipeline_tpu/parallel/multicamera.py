@@ -68,7 +68,13 @@ def build_multicamera_pipeline(
     ]
     stacked = jax.tree.map(lambda *xs: jax.numpy.stack(xs), *per_cam)
 
-    single_fn = make_isp_fn(base_config, encoding, with_state, keep_intermediates=False)
+    # trace with a per-camera calibration in place: make_isp_fn decides
+    # whether the remap stage exists from config.calibration (all cameras
+    # share availability/model by the size check above)
+    single_fn = make_isp_fn(
+        base_config.replace(calibration=calibrations[0]),
+        encoding, with_state, keep_intermediates=False,
+    )
     if with_state:
         vfn = jax.vmap(single_fn, in_axes=(0, 0, 0))
     else:

@@ -240,20 +240,33 @@ def make_isp_fn(
             if debug:
                 outputs["debug/" + name] = value
 
+        # mono frames may arrive as [..., H, W] or [..., H, W, 1]; process
+        # as channel-less and restore the trailing axis at the end
+        mono_channel_axis = (
+            encoding not in BAYER_ENCODINGS
+            and encoding not in _UNSUPPORTED_BAYER
+            and img.ndim >= 3
+            and img.shape[-1] == 1
+        )
+        if mono_channel_axis:
+            img = img[..., 0]
+
+        # the CPU-parity demosaic algorithms carry the reference CPU path's
+        # R<->B swap quirk (debayer.cpp:49-52); only "mht" (GPU parity) does not
+        cpu_swap = deb.algorithm != "mht"
+
         # 1. debayer — always runs; per-call encoding decides (quirk §8.1)
         with jax.named_scope("isp_debayer"):
             if encoding in BAYER_ENCODINGS:
                 img = debayer(img, encoding, deb.algorithm)
-                if deb.algorithm == "bilinear":
-                    # reference CPU path swaps R<->B after demosaic
-                    # (debayer.cpp:49-52)
+                if cpu_swap:
                     img = img[..., ::-1]
             elif encoding in _UNSUPPORTED_BAYER:
                 # 16-bit extension: demosaic at full depth, scale into the
                 # 8-bit chain
                 img = debayer(img, encoding)
                 img = (img >> 8).astype(jnp.uint8)
-                if deb.algorithm == "bilinear":
+                if cpu_swap:
                     img = img[..., ::-1]
             elif encoding == "rgb8":
                 img = img[..., ::-1]
@@ -309,9 +322,10 @@ def make_isp_fn(
                     )
         dump("02_white_balancing", img)
 
-        # 4. color calibration
+        # 4. color calibration (3-channel only, like WB — the reference's
+        # cv ops would fail outright on mono)
         with jax.named_scope("isp_color_calibration"):
-            if config.color_calibration.enabled:
+            if config.color_calibration.enabled and is_color:
                 img = color_correct(img, params.color_matrix, params.color_bias)
         dump("03_color_calibration", img)
 
@@ -323,15 +337,15 @@ def make_isp_fn(
                 )
         dump("04_gamma_correction", img)
 
-        # 6. vignetting
+        # 6. vignetting (Lab roundtrip — 3-channel only)
         with jax.named_scope("isp_vignetting"):
-            if config.vignetting_correction.enabled:
+            if config.vignetting_correction.enabled and is_color:
                 img = vignetting_correct(img, params.vignetting_mask)
         dump("05_vignetting_correction", img)
 
-        # 7. color enhancer
+        # 7. color enhancer (HSV roundtrip — 3-channel only)
         with jax.named_scope("isp_color_enhancer"):
-            if config.color_enhancer.enabled:
+            if config.color_enhancer.enabled and is_color:
                 img = enhance(img, params.enhancer_gains)
         dump("06_color_enhancer", img)
 
@@ -341,9 +355,17 @@ def make_isp_fn(
             outputs["dist_color"] = img
         with jax.named_scope("isp_undistortion"):
             if run_undist:
-                img = remap_bilinear_u8(img, params.map_x, params.map_y)
+                if is_color:
+                    img = remap_bilinear_u8(img, params.map_x, params.map_y)
+                else:
+                    # remap expects a channel axis; run mono as [..., H, W, 1]
+                    img = remap_bilinear_u8(
+                        img[..., None], params.map_x, params.map_y
+                    )[..., 0]
         dump("07_undistortion", img)
 
+        if mono_channel_axis:
+            img = img[..., None]
         outputs["processed"] = img
         return outputs, state
 

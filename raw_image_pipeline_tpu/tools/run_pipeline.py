@@ -26,6 +26,7 @@ from raw_image_pipeline_tpu.config import (
     DEFAULT_COLOR_CALIBRATION_PATH,
     DEFAULT_PARAMS_PATH,
     load_camera_calibration,
+    load_color_calibration,
     load_pipeline_params,
 )
 from raw_image_pipeline_tpu.runtime.stream import StreamRunner, make_camera_infos
@@ -66,7 +67,12 @@ def main(argv=None):
         first = cv2.imread(paths[0], cv2.IMREAD_UNCHANGED)
 
     config = load_pipeline_params(args.params)
-    config = config.replace(calibration=load_camera_calibration(args.calibration))
+    config = config.replace(
+        calibration=load_camera_calibration(args.calibration),
+        color_calibration=load_color_calibration(
+            args.color_calibration, config.color_calibration
+        ),
+    )
     runner = StreamRunner(
         config, args.encoding, first.shape[:2], batch_size=args.batch,
         output_encoding=args.output_encoding, slow_skip=args.skip_slow,
