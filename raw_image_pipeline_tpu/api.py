@@ -93,6 +93,11 @@ class RawImagePipeline:
         return pipe
 
     def _run(self, image: np.ndarray, encoding: str):
+        image = np.asarray(image)
+        if image.size == 0:
+            # empty-image early return like the node's callback guard
+            # (raw_image_pipeline_ros.cpp:231-234)
+            return image
         single = image.ndim == 2 or (image.ndim == 3 and image.shape[-1] in (1, 3))
         batch = image[None] if single else image
         wb = self._config.white_balance

@@ -29,7 +29,10 @@ from raw_image_pipeline_tpu.pipeline import BuiltPipeline, build_pipeline, init_
 
 @dataclasses.dataclass
 class CameraInfo:
-    """camera_info-equivalent metadata (raw_image_pipeline_ros.cpp:297-336)."""
+    """camera_info-equivalent metadata (raw_image_pipeline_ros.cpp:297-336).
+
+    frame_id mirrors the node's `output_frame` option: "passthrough" keeps
+    the source frame id (raw_image_pipeline_ros.cpp:307-311)."""
 
     width: int
     height: int
@@ -38,12 +41,13 @@ class CameraInfo:
     K: List[float]
     R: List[float]
     P: List[float]
+    frame_id: str = "passthrough"
 
     def to_dict(self):
         return dataclasses.asdict(self)
 
 
-def make_camera_infos(api_pipeline) -> Dict[str, CameraInfo]:
+def make_camera_infos(api_pipeline, output_frame: str = "passthrough") -> Dict[str, CameraInfo]:
     """Build dist and rect CameraInfo from a RawImagePipeline, fixing the
     model string to plumb_bob when "none" like the reference
     (raw_image_pipeline_ros.cpp:318-320)."""
@@ -62,6 +66,7 @@ def make_camera_infos(api_pipeline) -> Dict[str, CameraInfo]:
         K=fl(api_pipeline.get_dist_camera_matrix()),
         R=fl(api_pipeline.get_dist_rectification_matrix()),
         P=fl(api_pipeline.get_dist_projection_matrix()),
+        frame_id=output_frame,
     )
     rect = CameraInfo(
         width=api_pipeline.get_rect_image_width(),
@@ -71,6 +76,7 @@ def make_camera_infos(api_pipeline) -> Dict[str, CameraInfo]:
         K=fl(api_pipeline.get_rect_camera_matrix()),
         R=fl(api_pipeline.get_rect_rectification_matrix()),
         P=fl(api_pipeline.get_rect_projection_matrix()),
+        frame_id=output_frame,
     )
     return {"dist": dist, "rect": rect}
 

@@ -45,6 +45,9 @@ def main(argv=None):
     ap.add_argument("--output-encoding", default="BGR", choices=["BGR", "RGB"])
     ap.add_argument("--skip-slow", type=int, default=0,
                     help="emit a color/slow stream every N frames (ROS /slow topics)")
+    ap.add_argument("--output-frame", default="passthrough",
+                    help="frame_id recorded in camera_info.yaml "
+                         "(ROS output_frame; 'passthrough' keeps the source)")
     ap.add_argument("--raw-shape", default=None,
                     help="treat *.raw inputs as headerless HxW (e.g. 540x720) "
                          "8-bit frames, streamed by the native C++ frame pump")
@@ -79,7 +82,7 @@ def main(argv=None):
     )
 
     os.makedirs(args.output_dir, exist_ok=True)
-    infos = make_camera_infos(api)
+    infos = make_camera_infos(api, output_frame=args.output_frame)
     with open(os.path.join(args.output_dir, "camera_info.yaml"), "w") as f:
         yaml.safe_dump({k: v.to_dict() for k, v in infos.items()}, f)
 
