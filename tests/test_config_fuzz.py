@@ -157,7 +157,10 @@ def test_random_config_full_chain(bayer, seed):
     ce = config.color_enhancer.enabled
     if vig and ce:
         assert d.max() <= 10 and (d > 4).mean() < 1e-3, (seed, d.max())
-    elif vig or ce:
+    elif vig:
+        # Lab inverse (<=2) stretched by gamut-edge decode + remap blending
+        assert d.max() <= 6 and (d > 4).mean() < 1e-4, (seed, d.max())
+    elif ce:
         assert d.max() <= 4, (seed, d.max())
     else:
         assert d.max() <= 2, (seed, d.max())
