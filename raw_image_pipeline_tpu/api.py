@@ -299,9 +299,9 @@ class RawImagePipeline:
         )
 
     def set_undistortion_new_image_size(self, width: int, height: int) -> None:
-        # the reference keeps a separate rect size (undistortion.cpp:28-31);
-        # we rectify at the calibration size, so this maps onto it
-        self.set_undistortion_image_size(width, height)
+        # scales the rectified camera matrix; maps/output stay at the
+        # calibration size (undistortion.cpp:28-31, 216-238)
+        self._set_module("undistortion", new_image_size=(width, height))
 
     def set_undistortion_balance(self, balance: float) -> None:
         self._set_module("undistortion", balance=balance)
@@ -351,6 +351,10 @@ class RawImagePipeline:
     # getters (raw_image_pipeline.hpp:106-137; undistortion.cpp:78-152)
     # ------------------------------------------------------------------
 
+    def _rect_size(self):
+        c = self._config.calibration
+        return self._config.undistortion.new_image_size or (c.image_width, c.image_height)
+
     def _rect_K(self) -> np.ndarray:
         c = self._config.calibration
         size = (c.image_width, c.image_height)
@@ -358,7 +362,8 @@ class RawImagePipeline:
 
         return estimate_new_camera_matrix(
             c.K(), c.D(), size, c.R(),
-            self._config.undistortion.balance, size, self._config.undistortion.fov_scale,
+            self._config.undistortion.balance, self._rect_size(),
+            self._config.undistortion.fov_scale,
         )
 
     def get_dist_image_height(self) -> int:
@@ -368,10 +373,10 @@ class RawImagePipeline:
         return self._config.calibration.image_width
 
     def get_rect_image_height(self) -> int:
-        return self._config.calibration.image_height
+        return self._rect_size()[1]
 
     def get_rect_image_width(self) -> int:
-        return self._config.calibration.image_width
+        return self._rect_size()[0]
 
     def get_dist_distortion_model(self) -> str:
         c = self._config.calibration

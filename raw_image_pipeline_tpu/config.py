@@ -140,6 +140,12 @@ class UndistortionConfig:
     enabled: bool = False
     balance: float = 0.0
     fov_scale: float = 1.0
+    # setNewImageSize (undistortion.cpp:28-31): scales the rectified camera
+    # matrix; the maps (and hence the output) stay at the calibration size,
+    # exactly as cv::fisheye::initUndistortRectifyMap is called with
+    # dist_image_size_ in the reference (undistortion.cpp:216-238).
+    # None = calibration size.
+    new_image_size: Optional[Tuple[int, int]] = None  # (width, height)
 
 
 @dataclass(frozen=True)

@@ -151,10 +151,13 @@ def make_params(
     )
     if run_undist:
         size = (calib.image_width, calib.image_height)
+        new_size = config.undistortion.new_image_size or size
         new_K = estimate_new_camera_matrix(
             calib.K(), calib.D(), size, calib.R(),
-            config.undistortion.balance, size, config.undistortion.fov_scale,
+            config.undistortion.balance, new_size, config.undistortion.fov_scale,
         )
+        # maps stay at the calibration size like the reference
+        # (undistortion.cpp:216-238 passes dist_image_size_)
         mx, my = init_undistort_rectify_map(calib.K(), calib.D(), calib.R(), new_K, size)
         map_x, map_y = jnp.asarray(mx), jnp.asarray(my)
     else:

@@ -69,3 +69,32 @@ def test_full_undistortion_on_fixture():
     # batched consistency
     out2 = np.asarray(remap_bilinear_u8(np.stack([img, img]), mx, my))
     np.testing.assert_array_equal(out2[0], out2[1])
+
+
+def test_new_image_size_scales_rect_K():
+    """setNewImageSize semantics: rect K scales to the new size, maps and
+    output stay calibration-sized (undistortion.cpp:28-31, 216-238)."""
+    from raw_image_pipeline_tpu import RawImagePipeline
+    from raw_image_pipeline_tpu.config import DEFAULT_CALIBRATION_PATH, DEFAULT_PARAMS_PATH
+
+    pipe = RawImagePipeline(False, DEFAULT_PARAMS_PATH, DEFAULT_CALIBRATION_PATH, "")
+    pipe.set_white_balance(False)
+    pipe.set_undistortion_balance(0.0)
+    pipe.set_undistortion_fov_scale(1.0)
+    pipe.set_undistortion_new_image_size(1440, 1080)
+    assert pipe.get_rect_image_width() == 1440
+    K_rect = pipe.get_rect_camera_matrix()
+    ref = cv2.fisheye.estimateNewCameraMatrixForUndistortRectify(
+        K, D, SIZE, R, balance=0.0, new_size=(1440, 1080), fov_scale=1.0
+    )
+    np.testing.assert_allclose(K_rect, ref, atol=1e-9)
+
+    # output remains at the calibration size
+    img = cv2.imread("tests/fixtures/alphasense.png")
+    out = pipe.process(img, "bgr8")
+    assert out.shape == (540, 720, 3)
+    mx, my = cv2.fisheye.initUndistortRectifyMap(K, D, R, ref, SIZE, cv2.CV_32F)
+    golden = cv2.remap(img, mx, my, cv2.INTER_LINEAR,
+                       borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    d = np.abs(out.astype(int) - golden.astype(int))
+    assert d.max() <= 1
