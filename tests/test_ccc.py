@@ -154,3 +154,13 @@ def test_kalman_reset():
     state = ccc.kalman_init(())
     state, uv3 = ccc.kalman_update(state, np.array([50, 60], np.int32))
     assert tuple(np.asarray(uv3)) == (50, 60)
+
+
+def test_full_ccc_parity_gehler_shi():
+    """Second reference fixture (raw_image_pipeline_white_balance/data)."""
+    img = cv2.imread("tests/fixtures/gehler_shi.png")
+    assert img is not None
+    ref, (x_ref, y_ref), _, _ = cv_reference_ccc(img)
+    out, _ = ccc.ccc_balance_white(img[None], MODEL)
+    d = np.abs(np.asarray(out)[0].astype(int) - ref.astype(int))
+    assert d.max() <= 1, d.max()
