@@ -246,3 +246,29 @@ def test_flip90_with_undistortion(bayer_frame):
                        borderMode=cv2.BORDER_CONSTANT, borderValue=0)
     d = np.abs(out.astype(int) - golden.astype(int))
     assert d.max() <= 1
+
+
+def test_1_6mp_calibration_chain(bayer_frame):
+    """The second native Alphasense format (1440x1080) with its reference
+    calibration: full chain runs and undistortion matches cv2."""
+    big = cv2.resize(
+        cv2.demosaicing(bayer_frame, cv2.COLOR_BayerGB2BGR), (1440, 1080)
+    )
+    pipe = RawImagePipeline(
+        False, DEFAULT_PARAMS_PATH, "configs/alphasense_calib_1.6mp_example.yaml", ""
+    )
+    pipe.set_white_balance(False)
+    out = pipe.process(big, "bgr8")
+    assert out.shape == (1080, 1440, 3)
+    calib = load_camera_calibration("configs/alphasense_calib_1.6mp_example.yaml")
+    newK = cv2.fisheye.estimateNewCameraMatrixForUndistortRectify(
+        calib.K(), calib.D(), (1440, 1080), calib.R(), balance=0.0,
+        new_size=(1440, 1080), fov_scale=0.8,
+    )
+    mx, my = cv2.fisheye.initUndistortRectifyMap(
+        calib.K(), calib.D(), calib.R(), newK, (1440, 1080), cv2.CV_32F
+    )
+    golden = cv2.remap(big, mx, my, cv2.INTER_LINEAR,
+                       borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    d = np.abs(out.astype(int) - golden.astype(int))
+    assert d.max() <= 1
