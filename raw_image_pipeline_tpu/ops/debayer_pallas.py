@@ -95,7 +95,7 @@ def debayer_bilinear_pallas(bayer: jax.Array, phase: str) -> jax.Array:
         partial(_kernel, phase, h, w),
         out_shape=jax.ShapeDtypeStruct((bsz, 3, h, w), jnp.uint8),
         grid=(bsz, h // TILE),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, 3, TILE, w), lambda b, t: (b, 0, t, 0), memory_space=pltpu.VMEM
         ),

@@ -23,12 +23,13 @@ def cv_reference_ccc(img, bright=0.9, dark=0.1):
     f = small.astype(np.float32)
     gray = cv2.cvtColor(f, cv2.COLOR_BGR2GRAY)
     include = (gray <= 255.0 * bright) & (gray > 255.0 * dark)
-    with np.errstate(divide="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore"):
         logs = np.log(f)
-    finite = np.isfinite(logs).all(-1)
-    valid = include & finite
-    u = np.round((logs[..., 1] - logs[..., 2] - ccc.UV0) / ccc.BIN_SIZE)
-    v = np.round((logs[..., 1] - logs[..., 0] - ccc.UV0) / ccc.BIN_SIZE)
+        finite = np.isfinite(logs).all(-1)
+        valid = include & finite
+        # inf-inf -> nan on zero pixels; masked out by `valid`
+        u = np.round((logs[..., 1] - logs[..., 2] - ccc.UV0) / ccc.BIN_SIZE)
+        v = np.round((logs[..., 1] - logs[..., 0] - ccc.UV0) / ccc.BIN_SIZE)
     u = np.clip(np.nan_to_num(u), 0, 255).astype(np.int64)
     v = np.clip(np.nan_to_num(v), 0, 255).astype(np.int64)
     hist = np.zeros((256, 256), np.float32)
