@@ -88,6 +88,7 @@ class RawImagePipeline:
                 with_state=with_state,
                 keep_intermediates=True,
                 debug=self._debug,
+                temporal_mode="sequence",
             )
             self._cache[key] = pipe
         return pipe
@@ -105,20 +106,15 @@ class RawImagePipeline:
 
         if with_state:
             # temporal consistency is one sequential illuminant track, like
-            # the reference's single camera stream — a batch advances it
-            # frame by frame (use build_multicamera_pipeline for parallel
-            # per-camera tracks)
+            # the reference's single camera stream. The heavy stages batch
+            # over the frames in one dispatch; only the 2-float Kalman
+            # recurrence runs sequentially (temporal_mode="sequence" scans
+            # it over the per-frame argmax measurements). Use
+            # build_multicamera_pipeline for parallel per-camera tracks.
             if self._state is None:
-                self._state = init_state((1,))
-            pipe = self._pipeline_for((1,) + batch.shape[1:], encoding)
-            outs = []
-            for i in range(batch.shape[0]):
-                o, self._state = pipe(batch[i: i + 1], self._state)
-                outs.append(o)
-            outputs = {
-                k: np.concatenate([np.asarray(o[k]) for o in outs])
-                for k in outs[0]
-            }
+                self._state = init_state(())
+            pipe = self._pipeline_for(batch.shape, encoding)
+            outputs, self._state = pipe(batch, self._state)
         else:
             pipe = self._pipeline_for(batch.shape, encoding)
             outputs, _ = pipe(batch, None)

@@ -240,6 +240,24 @@ def kalman_init(batch_shape=(), uv_init=(HIST_N // 2, HIST_N // 2)) -> KalmanSta
     )
 
 
+def kalman_scan(state: KalmanState, meas: jax.Array) -> Tuple[KalmanState, jax.Array]:
+    """Advance one illuminant track through a time-ordered sequence of
+    measurements in a single dispatch.
+
+    meas: [T, ..., 2] int32 per-frame argmax peaks, time along axis 0;
+    state fields broadcast over the trailing batch shape `...` (independent
+    cameras). Returns (state after frame T-1, filtered uv [T, ..., 2]).
+
+    This is the batched-streaming factorization of the reference's per-frame
+    cv::KalmanFilter carry (ccc.cpp:300-340): the heavy CCC stages
+    (resize/histogram/response/argmax) batch over T frames in one dispatch
+    and only this 4-flop recurrence runs sequentially. The scan body is tiny
+    ([...,2] floats), so the big-body scan compile pathology on this TPU
+    stack does not apply.
+    """
+    return jax.lax.scan(kalman_update, state, meas)
+
+
 @jax.jit
 def kalman_update(state: KalmanState, meas: jax.Array) -> Tuple[KalmanState, jax.Array]:
     """One filter step. meas: [..., 2] int32 measured peak (x, y).

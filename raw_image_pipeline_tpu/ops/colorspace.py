@@ -11,13 +11,14 @@ plus BGR -> gray (float) for the CCC histogram mask
 Parity status (empirically measured against cv2 5.0 on random inputs, see
 tests/test_colorspace.py):
   * bgr_to_hsv_u8:   bit-exact (integer table arithmetic, hsv_shift=12).
-  * hsv_to_bgr_u8:   equal except ~0.003% of pixels that land exactly on a
-    .5 rounding boundary, where OpenCV 5's FMA-fused SIMD rounds on the
-    other side; error is then exactly 1 LSB.
-  * bgr_to_lab_u8 / lab_to_bgr_u8: OpenCV's 8u Lab uses a bit-exact
-    trilinear-LUT path; we implement the classic integer-table path, which
-    lands within 2 LSB of cv2 (79% of random triples exact). TODO(parity):
-    replicate the trilinear LUT.
+  * hsv_to_bgr_u8:   bit-exact, verified against ALL 256^3 u8 HSV inputs
+    (f32 chain with emulated-fma single rounding + final truncation,
+    replicating cv2 5.0's SIMD).
+  * bgr_to_lab_u8: classic integer-table path, matches cv2 5.0 at 99.99%
+    (cv2's forward uses an interpolated variant; residual is +-1 at ~1e-4
+    rate).
+  * lab_to_bgr_u8: bit-exact replica of cv2 5.0's Lab2RGBinteger fixed
+    point path, verified against ALL 256^3 u8 Lab inputs.
   * bgr_to_gray_f32: exact (float32 Y = 0.299R + 0.587G + 0.114B).
 
 All tables are built once in numpy at import time and closed over as
@@ -30,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from raw_image_pipeline_tpu.ops.common import descale, round_u8
+from raw_image_pipeline_tpu.ops.common import descale
 from raw_image_pipeline_tpu.ops.lut import CorrectedTable
 
 # ---------------------------------------------------------------------------
@@ -100,10 +101,42 @@ _SECTOR_DATA = (
 )
 
 
+def _dekker_fma_1_minus(s: jax.Array, ff: jax.Array) -> jax.Array:
+    """rnd32(1 - s*ff) with a SINGLE rounding — an emulated fused
+    multiply-add built from plain f32 mul/add/sub (Dekker 2Product +
+    Fast2Sum), so it is reproducible on backends without explicit fma.
+
+    cv2 5.0's SIMD HSV2BGR computes the v-table entries with real fmas;
+    replicating the single-rounding semantics is what makes the conversion
+    below bit-exact. All intermediate ops are individually IEEE
+    round-to-nearest f32, which both XLA:CPU and the TPU VPU provide.
+    """
+    f32 = jnp.float32
+    C = f32(4097.0)  # 2^12 + 1 Dekker split constant
+    one = f32(1.0)
+
+    ca = s * C
+    shi = ca - (ca - s)
+    slo = s - shi
+    cb = ff * C
+    fhi = cb - (cb - ff)
+    flo = ff - fhi
+
+    p = s * ff
+    err = (((shi * fhi - p) + shi * flo) + slo * fhi) + slo * flo
+    d = one - p
+    e2 = (one - d) - p  # exact error of (1 - p): Fast2Sum, |1| >= |p|
+    return d + (e2 - err)
+
+
 @jax.jit
 def hsv_to_bgr_u8(image: jax.Array) -> jax.Array:
-    """cv::cvtColor(COLOR_HSV2BGR) for uint8 (float32 path; see module doc
-    for the rare 1-LSB boundary deviation vs OpenCV 5 SIMD)."""
+    """Bit-exact replica of cv::cvtColor(COLOR_HSV2BGR) for uint8.
+
+    cv2 5.0 computes h*(6/180) in f32, tables
+    [v, v*(1-s), v*fma(-s,ff,1), v*fma(s,ff-1,1)] and TRUNCATES the final
+    *255 product (no rounding). Verified equal on ALL 256^3 u8 HSV inputs
+    (tests/test_pointwise_ops.py)."""
     f32 = jnp.float32
     h = image[..., 0].astype(f32)
     s = image[..., 1].astype(f32) * f32(1.0 / 255.0)
@@ -115,7 +148,12 @@ def hsv_to_bgr_u8(image: jax.Array) -> jax.Array:
     sector = sector % 6
 
     one = f32(1.0)
-    tab = (v, v * (one - s), v * (one - s * ff), v * (one - s * (one - ff)))
+    tab = (
+        v,
+        v * (one - s),
+        v * _dekker_fma_1_minus(s, ff),
+        v * _dekker_fma_1_minus(s, one - ff),  # (1-ff) exact by Sterbenz
+    )
 
     def pick(channel: int):
         out = tab[_SECTOR_DATA[0][channel]]
@@ -124,7 +162,7 @@ def hsv_to_bgr_u8(image: jax.Array) -> jax.Array:
         return out
 
     out = jnp.stack([pick(0), pick(1), pick(2)], axis=-1)
-    return round_u8(out * f32(255.0))
+    return jnp.floor(out * f32(255.0)).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -225,44 +263,157 @@ def bgr_to_lab_u8(image: jax.Array) -> jax.Array:
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
+# --- exact integer Lab->BGR (cv2 5.0 Lab2RGBinteger path) ------------------
+#
+# Reverse-engineered empirically and verified bit-exact against
+# cv2.cvtColor(COLOR_Lab2BGR) on ALL 256^3 u8 Lab triples (see
+# tests/test_pointwise_ops.py). Structure (fixed point, BASE = 2^14):
+#   y, ify         : per-L tables (CIE L -> Y and f(Y), both BASE-scaled);
+#   adiv, bdiv     : integer approximations of (a-128)*BASE/500 and
+#                    (b-128)*BASE/200 (the +1 on bdiv is in the original);
+#   x, z           : f-value -> chromaticity via a piecewise table whose
+#                    entries have the closed forms  i*108/841 - 290  (linear
+#                    branch, C-truncated division) and  ((i*i)/B)*i/B
+#                    (cubic branch) — evaluated directly, no gather;
+#   s              : per-channel 3x3 XYZ->sRGB row sum, coeffs
+#                    round(4096 * M * whitept) (columns premultiplied by the
+#                    D65 white point);
+#   out            : i = (s + 8192) >> 14, clipped to [0, 8191], then the
+#                    inverse-sRGB-gamma table round(255 * gamma(i/4096)).
+# The vignetting module composes this after scaling L
+# (reference: modules/vignetting_correction.cpp:68-93).
+
+_LAB2_BASE = 1 << 14
+_LAB2_MIN_AB = -8145
+_LAB2_AB_MAX = _LAB2_BASE * 9 // 4 + _LAB2_MIN_AB - 1
+
+
+def _lab2_yf_tables():
+    f = np.float32
+    i = np.arange(256)
+    li = (i * 100 / f(255)).astype(f)
+    lthresh = f(0.008856) * f(903.3)
+    ylo = np.rint((_LAB2_BASE * (li / f(903.3))).astype(f))
+    ifylo = np.rint(
+        (_LAB2_BASE * (f(7.787) * (li / f(903.3)) + f(16.0 / 116.0))).astype(f)
+    )
+    fy = ((li + 16) / f(116)).astype(f)
+    ifyhi = np.rint((_LAB2_BASE * fy).astype(f))
+    yhi = np.rint((_LAB2_BASE * fy * fy * fy).astype(f))
+    lo = li <= lthresh
+    y = np.where(lo, ylo, yhi).astype(np.int32)
+    ify = np.where(lo, ifylo, ifyhi).astype(np.int32)
+    return y, ify
+
+
+_LAB2_Y_TAB, _LAB2_IFY_TAB = _lab2_yf_tables()
+
+
+def _lab2_y_formula(i):
+    f32 = jnp.float32
+    li = i.astype(f32) * f32(100.0 / 255.0)
+    lo = jnp.rint(f32(_LAB2_BASE) * (li / f32(903.3)))
+    fy = (li + f32(16.0)) / f32(116.0)
+    hi = jnp.rint(f32(_LAB2_BASE) * fy * fy * fy)
+    return jnp.where(li <= f32(0.008856) * f32(903.3), lo, hi).astype(jnp.int32)
+
+
+def _lab2_ify_formula(i):
+    f32 = jnp.float32
+    li = i.astype(f32) * f32(100.0 / 255.0)
+    lo = jnp.rint(
+        f32(_LAB2_BASE) * (f32(7.787) * (li / f32(903.3)) + f32(16.0 / 116.0))
+    )
+    hi = jnp.rint(f32(_LAB2_BASE) * (li + f32(16.0)) / f32(116.0))
+    return jnp.where(li <= f32(0.008856) * f32(903.3), lo, hi).astype(jnp.int32)
+
+
+_LAB2_Y = CorrectedTable(_lab2_y_formula, _LAB2_Y_TAB)
+_LAB2_IFY = CorrectedTable(_lab2_ify_formula, _LAB2_IFY_TAB)
+
+
+def _lab2_inv_gamma_table():
+    f = np.float32
+    i = np.arange(8192)
+    x = (i / f(4096)).astype(f)
+    g = np.where(
+        x <= f(0.0031308),
+        x * f(12.92),
+        f(1.055) * np.power(x, f(1 / 2.4), dtype=f) - f(0.055),
+    )
+    return np.clip(np.rint((f(255) * g).astype(f)), 0, 255).astype(np.int32)
+
+
+def _lab2_inv_gamma_formula(i):
+    f32 = jnp.float32
+    x = i.astype(f32) * f32(1.0 / 4096.0)
+    g = jnp.where(
+        x <= f32(0.0031308),
+        x * f32(12.92),
+        f32(1.055) * jnp.power(jnp.maximum(x, f32(1e-9)), f32(1.0 / 2.4)) - f32(0.055),
+    )
+    return jnp.clip(jnp.rint(f32(255.0) * g), 0, 255).astype(jnp.int32)
+
+
+_LAB2_INV_GAMMA = CorrectedTable(
+    _lab2_inv_gamma_formula, _lab2_inv_gamma_table(), max_corr=64
+)
+
+
+def _lab2_coeffs():
+    M = (
+        (3.240479, -1.53715, -0.498535),
+        (-0.969256, 1.875991, 0.041556),
+        (0.055648, -0.204043, 1.057311),
+    )
+    return [
+        [int(np.rint(np.float64(4096 * M[r][c] * _WHITEPT[c]))) for c in range(3)]
+        for r in range(3)
+    ]
+
+
+_LAB2_COEF = _lab2_coeffs()
+
+
+def _trunc_div(a: jax.Array, b: int) -> jax.Array:
+    """C/C++ integer division (truncation toward zero) for int32 arrays."""
+    return jnp.where(a >= 0, a // b, -((-a) // b))
+
+
+def _lab2_ab_to_xz(i: jax.Array) -> jax.Array:
+    """abToXZ_b table entries computed in closed form from the index."""
+    i = jnp.clip(i, _LAB2_MIN_AB, _LAB2_AB_MAX)
+    lin = _trunc_div(i * 108, 841) - 290  # 290 == ((BASE*16/116)*108)/841
+    cub = _trunc_div(_trunc_div(i * i, _LAB2_BASE) * i, _LAB2_BASE)
+    return jnp.where(i <= 3390, lin, cub)
+
+
 @jax.jit
 def lab_to_bgr_u8(image: jax.Array) -> jax.Array:
-    """Lab->BGR for uint8 (float path with sRGB encode, D65)."""
-    f32 = jnp.float32
-    L = image[..., 0].astype(f32) * f32(100.0 / 255.0)
-    a = image[..., 1].astype(f32) - f32(128.0)
-    b = image[..., 2].astype(f32) - f32(128.0)
+    """Bit-exact replica of cv::cvtColor(COLOR_Lab2BGR) for uint8
+    (verified against all 2^24 inputs; see module docstring above)."""
+    i32 = jnp.int32
+    L = image[..., 0].astype(i32)
+    a = image[..., 1].astype(i32)
+    b = image[..., 2].astype(i32)
 
-    fY = (L + f32(16.0)) * f32(1.0 / 116.0)
-    fX = fY + a * f32(1.0 / 500.0)
-    fZ = fY - b * f32(1.0 / 200.0)
+    y = _LAB2_Y(L)
+    ify = _LAB2_IFY(L)
 
-    def finv(t):
-        t3 = t * t * t
-        return jnp.where(t3 > 0.008856, t3, (t - f32(0.13793103448275862)) * f32(1.0 / 7.787))
+    adiv = ((5 * a * 53687 + (1 << 7)) >> 13) - 128 * _LAB2_BASE // 500
+    bdiv = ((b * 41943 + (1 << 4)) >> 9) - 128 * _LAB2_BASE // 200 + 1
+    x = _lab2_ab_to_xz(ify + adiv)
+    z = _lab2_ab_to_xz(ify - bdiv)
 
-    X = finv(fX) * f32(_WHITEPT[0])
-    # OpenCV uses L > 8 ? fY^3 : L/903.3 for Y
-    Y = jnp.where(L > 7.999625, fY * fY * fY, L * f32(1.0 / 903.3))
-    Z = finv(fZ) * f32(_WHITEPT[2])
+    C = _LAB2_COEF
 
-    R = X * f32(3.240479) + Y * f32(-1.53715) + Z * f32(-0.498535)
-    G = X * f32(-0.969256) + Y * f32(1.875991) + Z * f32(0.041556)
-    B = X * f32(0.055648) + Y * f32(-0.204043) + Z * f32(1.057311)
+    def channel(row):
+        s = C[row][0] * x + C[row][1] * y + C[row][2] * z
+        idx = jnp.clip((s + 8192) >> 14, 0, 8191)
+        return _LAB2_INV_GAMMA(idx)
 
-    def encode(v):
-        # sRGB encode computed directly (gather-free); clamp to [0, 1]
-        # like the LUT index clamp did
-        v = jnp.clip(v, 0.0, 1.0)
-        srgb = jnp.where(
-            v <= 0.0031308,
-            v * f32(12.92),
-            f32(1.055) * jnp.power(v, f32(1.0 / 2.4)) - f32(0.055),
-        )
-        return srgb * f32(255.0)
-
-    out = jnp.stack([encode(B), encode(G), encode(R)], axis=-1)
-    return round_u8(out)
+    out = jnp.stack([channel(2), channel(1), channel(0)], axis=-1)
+    return out.astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------

@@ -199,6 +199,7 @@ def make_isp_fn(
     with_state: bool,
     keep_intermediates: bool = True,
     debug: bool = False,
+    temporal_mode: str = "cameras",
 ):
     """Trace-time assembly of the chain for a fixed encoding.
 
@@ -308,7 +309,13 @@ def make_isp_fn(
                     )
                     uv = ccc_ops.response_argmax(resp)
                     if use_kalman:
-                        state, uv = ccc_ops.kalman_update(state, uv)
+                        if temporal_mode == "sequence":
+                            # batch axis = time: one shared track advanced
+                            # through all frames in this dispatch
+                            state, uv = ccc_ops.kalman_scan(state, uv)
+                        else:
+                            # batch axis = independent cameras, one track each
+                            state, uv = ccc_ops.kalman_update(state, uv)
                     gains = ccc_ops.gains_from_uv(uv)
                     img = ccc_ops.apply_gains(img, gains)
                 elif wb.method == "simple":
@@ -384,12 +391,20 @@ def build_pipeline(
     ccc_model: Optional[CCCModel] = None,
     donate: bool = False,
     debug: bool = False,
+    temporal_mode: str = "cameras",
 ) -> BuiltPipeline:
     """Build and jit the full ISP for one configuration.
 
     frame_hw defaults to the calibration's image size. The returned object
     is callable: outputs, state = pipe(pixels, state). Input pixels:
     [B, H, W] uint8 for Bayer encodings, [B, H, W, 3] for color.
+
+    temporal_mode (only relevant with CCC temporal consistency + state):
+      * "cameras" — batch entries are independent streams, state is batched
+        like the pixels (one Kalman track per entry);
+      * "sequence" — batch entries are consecutive frames of one stream,
+        state is a single track advanced through them in order
+        (bitwise equal to feeding the frames one dispatch at a time).
     """
     if frame_hw is None:
         frame_hw = (config.calibration.image_height, config.calibration.image_width)
@@ -400,6 +415,8 @@ def build_pipeline(
     ):
         ccc_model = load_ccc_model(config.white_balance.ccc_model_path)
     params = make_params(config, frame_hw, ccc_model)
-    raw_fn = make_isp_fn(config, encoding, with_state, keep_intermediates, debug)
+    raw_fn = make_isp_fn(
+        config, encoding, with_state, keep_intermediates, debug, temporal_mode
+    )
     jitted = jax.jit(raw_fn, donate_argnums=(1,) if donate else ())
     return BuiltPipeline(config=config, params=params, ccc_model=ccc_model, fn=jitted)

@@ -105,16 +105,17 @@ class StreamRunner:
         self.pipe: BuiltPipeline = build_pipeline(
             config, encoding, frame_hw=frame_hw,
             with_state=self.with_state, keep_intermediates=True,
+            temporal_mode="sequence",
         )
         # one shared illuminant track, like the reference's single camera
         # stream; batch entries advance it sequentially via scan semantics
-        self.state = init_state((1,)) if self.with_state else None
+        self.state = init_state(()) if self.with_state else None
         self._slow_counter = 0
 
     def reset_white_balance(self):
         """The ~reset_white_balance service (raw_image_pipeline_ros.cpp:290-295)."""
         if self.with_state:
-            self.state = init_state((1,))
+            self.state = init_state(())
 
     def _run_batch(self, batch: np.ndarray):
         if self.mesh is not None:
@@ -122,18 +123,12 @@ class StreamRunner:
 
             batch = shard_batch(batch, self.mesh)
         if self.with_state:
-            # temporal consistency is sequential by nature: process the
-            # batch as a scan over frames sharing one track
-            outs = []
-            state = self.state
-            for i in range(batch.shape[0]):
-                o, state = self.pipe(batch[i: i + 1], state)
-                outs.append(o)
-            self.state = state
-            return {
-                k: np.concatenate([np.asarray(o[k]) for o in outs]) for k in outs[0]
-            }
-        outputs, _ = self.pipe(batch, None)
+            # temporal consistency over the batch-as-time-sequence: the
+            # heavy stages run batched, only the Kalman recurrence scans
+            # over the per-frame measurements (temporal_mode="sequence")
+            outputs, self.state = self.pipe(batch, self.state)
+        else:
+            outputs, _ = self.pipe(batch, None)
         return {k: np.asarray(v) for k, v in outputs.items()}
 
     def run(

@@ -165,3 +165,58 @@ def test_full_ccc_parity_gehler_shi():
     out, _ = ccc.ccc_balance_white(img[None], MODEL)
     d = np.abs(np.asarray(out)[0].astype(int) - ref.astype(int))
     assert d.max() <= 1, d.max()
+
+
+def test_kalman_scan_matches_sequential():
+    """Batched streaming (kalman_scan over T measurements) is bitwise equal
+    to T sequential kalman_update dispatches."""
+    rng = np.random.default_rng(1)
+    meas = rng.integers(80, 180, (17, 2)).astype(np.int32)
+    st_seq = ccc.kalman_init(())
+    seq_uv = []
+    for z in meas:
+        st_seq, uv = ccc.kalman_update(st_seq, z)
+        seq_uv.append(np.asarray(uv))
+    st_scan, scan_uv = ccc.kalman_scan(ccc.kalman_init(()), meas)
+    np.testing.assert_array_equal(np.asarray(scan_uv), np.stack(seq_uv))
+    np.testing.assert_array_equal(np.asarray(st_scan.x), np.asarray(st_seq.x))
+    np.testing.assert_array_equal(np.asarray(st_scan.p), np.asarray(st_seq.p))
+    # state carries across scan calls like across updates
+    st_scan2, scan_uv2 = ccc.kalman_scan(st_scan, meas[:5] + 7)
+    st_ref = st_seq
+    for z in meas[:5] + 7:
+        st_ref, uv = ccc.kalman_update(st_ref, z)
+    np.testing.assert_array_equal(np.asarray(scan_uv2)[-1], np.asarray(uv))
+    np.testing.assert_array_equal(np.asarray(st_scan2.x), np.asarray(st_ref.x))
+
+
+def test_pipeline_sequence_mode_matches_per_frame_dispatch():
+    """A temporal_mode="sequence" pipeline over a batch of B frames equals B
+    single-frame dispatches sharing one track (the streamed config-3 path)."""
+    from raw_image_pipeline_tpu.pipeline import build_pipeline, init_state
+    import dataclasses
+    from raw_image_pipeline_tpu.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    cfg = cfg.replace(
+        white_balance=dataclasses.replace(
+            cfg.white_balance, enabled=True, method="ccc",
+            temporal_consistency=True,
+        )
+    )
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 256, (6, 64, 96), np.uint8)
+
+    ref_pipe = build_pipeline(cfg, "bayer_gbrg8", frame_hw=(64, 96),
+                              with_state=True)
+    st = init_state((1,))
+    ref_out = []
+    for i in range(frames.shape[0]):
+        o, st = ref_pipe(frames[i:i + 1], st)
+        ref_out.append(np.asarray(o["processed"])[0])
+
+    seq_pipe = build_pipeline(cfg, "bayer_gbrg8", frame_hw=(64, 96),
+                              with_state=True, temporal_mode="sequence")
+    out, end_state = seq_pipe(frames, init_state(()))
+    np.testing.assert_array_equal(np.asarray(out["processed"]), np.stack(ref_out))
+    np.testing.assert_allclose(np.asarray(end_state.x), np.asarray(st.x)[0])

@@ -92,21 +92,37 @@ def test_bgr2hsv_bit_exact():
                                   cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
 
 
-def test_hsv2bgr_within_1lsb():
-    hsv = rand_img((301, 173, 3), 6)
-    ref = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
-    out = np.asarray(cs.hsv_to_bgr_u8(hsv))
-    d = np.abs(out.astype(int) - ref.astype(int))
-    # cv2's SIMD path (wide images) and scalar path (tail) themselves
-    # disagree at 1 LSB; we match the scalar/float semantics and assert the
-    # 1-LSB envelope against whichever path cv2 took.
-    assert d.max() <= 1
-    # single-column images take cv2's scalar path -> near-exact
+def test_hsv2bgr_exhaustive_bit_exact():
+    """HSV->BGR: bit-exact vs cv2 5.0's (SIMD/fma) path on EVERY u8 HSV
+    triple — all 2^24 inputs, checked in slabs wide enough for cv2 to take
+    its vectorized kernel (the one real frames hit)."""
+    aa, bb = np.meshgrid(
+        np.arange(256, dtype=np.uint8), np.arange(256, dtype=np.uint8),
+        indexing="ij",
+    )
+    for h0 in range(0, 256, 32):
+        Hs = np.arange(h0, h0 + 32, dtype=np.uint8)
+        hsv = np.stack(
+            [
+                np.broadcast_to(Hs[:, None, None], (32, 256, 256)),
+                np.broadcast_to(aa, (32, 256, 256)),
+                np.broadcast_to(bb, (32, 256, 256)),
+            ],
+            axis=-1,
+        ).reshape(32, -1, 3)
+        ref = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+        got = np.asarray(cs.hsv_to_bgr_u8(hsv))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_hsv2bgr_scalar_path_envelope():
+    # single-column images take cv2's *scalar* kernel, which itself
+    # disagrees with its SIMD kernel at 1 LSB; assert the envelope only
     col = rand_img((5000, 1, 3), 61)
     ref_col = cv2.cvtColor(col, cv2.COLOR_HSV2BGR)
     out_col = np.asarray(cs.hsv_to_bgr_u8(col))
     dcol = np.abs(out_col.astype(int) - ref_col.astype(int))
-    assert dcol.max() <= 1 and (dcol > 0).mean() < 1e-3
+    assert dcol.max() <= 1
 
 
 def test_bgr2gray_f32_exact():
@@ -129,39 +145,52 @@ def test_lab_forward_near_exact():
     np.testing.assert_array_equal(lab[..., 0], lab_ref[..., 0])
 
 
-def test_lab_inverse_tolerance():
-    img = rand_img((128, 96, 3), 8)
-    lab_ref = cv2.cvtColor(img, cv2.COLOR_BGR2Lab)
-    back_ref = cv2.cvtColor(lab_ref, cv2.COLOR_Lab2BGR)
-    back = np.asarray(cs.lab_to_bgr_u8(lab_ref))
-    d2 = np.abs(back.astype(int) - back_ref.astype(int))
-    assert d2.max() <= 2, f"Lab inv diff {d2.max()}"
+def test_lab_inverse_exhaustive_bit_exact():
+    """Lab->BGR: bit-exact vs cv2 5.0's Lab2RGBinteger on EVERY u8 Lab
+    triple (all 2^24 inputs, checked in slabs)."""
+    aa, bb = np.meshgrid(
+        np.arange(256, dtype=np.uint8), np.arange(256, dtype=np.uint8),
+        indexing="ij",
+    )
+    for l0 in range(0, 256, 32):
+        Ls = np.arange(l0, l0 + 32, dtype=np.uint8)
+        lab = np.stack(
+            [
+                np.broadcast_to(Ls[:, None, None], (32, 256, 256)),
+                np.broadcast_to(aa, (32, 256, 256)),
+                np.broadcast_to(bb, (32, 256, 256)),
+            ],
+            axis=-1,
+        ).reshape(32, -1, 3)
+        ref = cv2.cvtColor(lab, cv2.COLOR_Lab2BGR)
+        got = np.asarray(cs.lab_to_bgr_u8(lab))
+        np.testing.assert_array_equal(got, ref)
 
 
 # ---------------------------------------------------------------- color enhancer
 
 def test_color_enhancer_vs_cv2_composition():
     """Golden = the reference composition done with cv2 primitives
-    (color_enhancer.cpp:38-47)."""
-    img = rand_img((97, 61, 3), 9)
+    (color_enhancer.cpp:38-47). Bit-exact at sizes where cv2 runs its
+    vectorized HSV2BGR kernel throughout (below ~1MP cv2 mixes in a scalar
+    kernel that disagrees with its own SIMD one at 1 LSB on ~0.7% of
+    pixels — see test_hsv2bgr_scalar_path_envelope)."""
+    img = rand_img((1024, 512, 3), 9)
     gains = (1.0, 1.5, 1.0)
     hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
     hsv = cv2.multiply(hsv, gains + (0,))
     ref = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
     out = np.asarray(enhance(img, np.array(gains, np.float32)))
-    d = np.abs(out.astype(int) - ref.astype(int))
-    assert d.max() <= 1
+    np.testing.assert_array_equal(out, ref)
 
 
 # ---------------------------------------------------------------- vignetting
 
-def test_vignetting_vs_cv2_composition():
+def test_vignetting_vs_cv2_composition_bit_exact():
     """Golden = reference composition with cv2 (vignetting_correction.cpp:68-93)
-    on the real Alphasense fixture. Our Lab u8 is within 2 LSB of cv2's
-    bit-exact LUT path (see ops/colorspace.py), which bounds the end-to-end
-    error on natural images to a few LSB; random-noise colors can amplify
-    more through the Lab->BGR gamut edges. TODO(parity): replicate cv2's
-    trilinear-LUT Lab to reach <=1 LSB here."""
+    on the real Alphasense fixture: bit-exact (the Lab->BGR inverse is an
+    exact replica of cv2's integer path; the forward's ~1e-4 interpolated
+    residual does not fire on this natural image)."""
     img = cv2.imread("tests/fixtures/alphasense.png")
     h, w = img.shape[:2]
     scale, a2, a4 = 1.5, 1e-3, 1e-6
@@ -172,8 +201,23 @@ def test_vignetting_vs_cv2_composition():
     lab2[..., 0] = np.clip(np.rint(L), 0, 255).astype(np.uint8)
     ref = cv2.cvtColor(lab2, cv2.COLOR_Lab2BGR)
     out = np.asarray(correct(img, mask))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_vignetting_vs_cv2_composition_noise():
+    """On synthetic noise the forward Lab's interpolated-LUT residual
+    (+-1 in L/a/b at ~1e-4 rate) can amplify through the exact inverse's
+    gamut edges; bound the tail."""
+    img = rand_img((256, 320, 3), 11)
+    mask = build_vignetting_mask(256, 320, 1.5, 1e-3, 1e-6)
+    lab = cv2.cvtColor(img, cv2.COLOR_BGR2Lab)
+    L = lab[..., 0].astype(np.float32) * mask
+    lab2 = lab.copy()
+    lab2[..., 0] = np.clip(np.rint(L), 0, 255).astype(np.uint8)
+    ref = cv2.cvtColor(lab2, cv2.COLOR_Lab2BGR)
+    out = np.asarray(correct(img, mask))
     d = np.abs(out.astype(int) - ref.astype(int))
-    assert d.mean() < 0.5 and (d > 4).mean() < 1e-3, (d.max(), d.mean())
+    assert (d > 0).mean() < 1e-3, (d.max(), (d > 0).mean())
 
 
 def test_vignetting_mask_properties():
