@@ -49,7 +49,10 @@ class RawImagePipeline:
 
         base = cfg.PipelineConfig()
         if use_gpu:
-            base = base.replace(debayer=replace(base.debayer, algorithm="mht"))
+            base = base.replace(
+                debayer=replace(base.debayer, algorithm="mht"),
+                gamma_correction=replace(base.gamma_correction, gpu=True),
+            )
 
         self._config = cfg.load_pipeline_params(
             params_path or cfg.DEFAULT_PARAMS_PATH, base
@@ -187,6 +190,9 @@ class RawImagePipeline:
         self._use_gpu = use_gpu
         algo = "mht" if use_gpu else "bilinear"
         self._set_module("debayer", algorithm=algo)
+        # the GPU backend's "default" gamma is the fixed BT.709 NPP curve
+        # (quirk §8.15)
+        self._set_module("gamma_correction", gpu=use_gpu)
 
     def set_debug(self, debug: bool) -> None:
         self._debug = debug

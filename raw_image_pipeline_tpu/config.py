@@ -114,6 +114,12 @@ class GammaCorrectionConfig:
     enabled: bool = False
     method: str = "custom"  # "custom" | "default" — both are the same LUT on CPU (gamma_correction.cpp:54-60)
     k: float = 0.8
+    # Emulate the reference GPU backend for method="default":
+    # cv::cuda::gammaCorrection applies NPP's FIXED BT.709 transfer curve,
+    # ignoring k except for the direction flag is_forward = (k <= 1.0)
+    # (gamma_correction.cpp:29-33, 66-74 — quirk §8.15). Set by the API when
+    # use_gpu is selected.
+    gpu: bool = False
 
 
 @dataclass(frozen=True)
@@ -272,6 +278,7 @@ def load_pipeline_params(path: str, base: Optional[PipelineConfig] = None) -> Pi
             enabled=bool(_get(gam, "enabled", False)),
             method=str(_get(gam, "method", "custom")),
             k=float(_get(gam, "k", 0.8)),
+            gpu=base.gamma_correction.gpu,
         ),
         vignetting_correction=VignettingCorrectionConfig(
             enabled=bool(_get(vig, "enabled", False)),

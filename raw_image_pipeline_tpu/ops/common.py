@@ -33,6 +33,36 @@ def round_u8(x):
     return jnp.clip(jnp.rint(x), 0, 255).astype(jnp.uint8)
 
 
+def fma_f32(a, b, c):
+    """rnd32(a*b + c) with a SINGLE rounding — an emulated fused
+    multiply-add built from plain f32 mul/add/sub (Dekker 2Product + TwoSum),
+    reproducible on backends without an exposed fma primitive.
+
+    Used where OpenCV's SIMD kernels compute with real fmas and the 1-LSB
+    parity depends on the single-rounding semantics. The residual
+    double-rounding window of the emulation is ~2^-48 relative — far below
+    any u8-visible boundary.
+    """
+    f32 = jnp.float32
+    a = jnp.asarray(a, f32)
+    b = jnp.asarray(b, f32)
+    c = jnp.asarray(c, f32)
+    C = f32(4097.0)  # 2^12 + 1 Dekker split constant
+    ca = a * C
+    ahi = ca - (ca - a)
+    alo = a - ahi
+    cb = b * C
+    bhi = cb - (cb - b)
+    blo = b - bhi
+    p = a * b
+    err = (((ahi * bhi - p) + ahi * blo) + alo * bhi) + alo * blo
+    # TwoSum(p, c) — branch-free exact error of the rounded sum
+    s = p + c
+    bb = s - p
+    e2 = (p - (s - bb)) + (c - bb)
+    return s + (e2 + err)
+
+
 def lut_select(idx, table):
     """table[idx] via a binary select tree instead of a gather.
 

@@ -58,6 +58,63 @@ def gamma_correct(image: jax.Array, k: float) -> jax.Array:
     return gamma_apply(image, jnp.float32(k), jnp.asarray(idx), jnp.asarray(val))
 
 
+# ---------------------------------------------------------------------------
+# GPU-backend "default" gamma: the reference's cv::cuda::gammaCorrection is
+# NPP's nppiGammaFwd/Inv_8u_C3IR — a FIXED ITU-R BT.709 transfer curve that
+# ignores k entirely; only the direction comes from k via
+# is_forward = (k <= 1.0) (gamma_correction.cpp:29-33, 66-74).
+# Forward (linear -> gamma):  X < 0.018 ? 4.5*X : 1.099*X^0.45 - 0.099
+# Inverse (gamma -> linear):  Y < 0.081 ? Y/4.5 : ((Y+0.099)/1.099)^(1/0.45)
+# No CUDA oracle exists on this host; the curve follows the published NPP
+# GammaFwd/GammaInv specification with round-to-nearest u8 quantization.
+# ---------------------------------------------------------------------------
+
+
+def build_bt709_lut(forward: bool) -> np.ndarray:
+    x = np.arange(256, dtype=np.float64) / 255.0
+    if forward:
+        y = np.where(x < 0.018, 4.5 * x, 1.099 * np.power(x, 0.45) - 0.099)
+    else:
+        y = np.where(x < 0.081, x / 4.5, np.power((x + 0.099) / 1.099, 1.0 / 0.45))
+    return np.clip(np.rint(y * 255.0), 0, 255).astype(np.uint8)
+
+
+def _bt709_formula(x, forward: bool):
+    f32 = jnp.float32
+    xf = x.astype(f32) * f32(1.0 / 255.0)
+    if forward:
+        y = jnp.where(
+            xf < f32(0.018),
+            xf * f32(4.5),
+            f32(1.099) * jnp.power(jnp.maximum(xf, f32(1e-9)), f32(0.45)) - f32(0.099),
+        )
+    else:
+        y = jnp.where(
+            xf < f32(0.081),
+            xf * f32(1.0 / 4.5),
+            jnp.power((xf + f32(0.099)) * f32(1.0 / 1.099), f32(1.0 / 0.45)),
+        )
+    return jnp.clip(jnp.rint(y * f32(255.0)), 0, 255).astype(jnp.uint8)
+
+
+def bt709_corrections(forward: bool):
+    """(corr_idx, corr_val) patching the device formula to the exact
+    host-built BT.709 LUT, derived on the current backend."""
+    return derive_corrections(
+        lambda x: _bt709_formula(x, forward), build_bt709_lut(forward)
+    )
+
+
+def gamma_apply_bt709(image: jax.Array, forward: bool,
+                      corr_idx: jax.Array, corr_val: jax.Array) -> jax.Array:
+    """The GPU-backend 'default' gamma (fixed BT.709 curve, k ignored)."""
+    x = image.astype(jnp.int32)
+    y = _bt709_formula(x, forward)
+    for j in range(corr_idx.shape[0]):
+        y = jnp.where(x == corr_idx[j], corr_val[j], y)
+    return y
+
+
 # Back-compat alias used by tests: exact LUT application for an arbitrary
 # 256-entry table via select tree (slow to compile; prefer gamma_apply).
 def apply_lut(image: jax.Array, lut: jax.Array) -> jax.Array:

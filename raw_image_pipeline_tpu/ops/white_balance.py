@@ -12,13 +12,23 @@ on TPU the reductions are jnp sums/maxes over the spatial axes (batched over
 frames; under spatial sharding they become psum-style collectives inserted
 by GSPMD), and the pixel math fuses with neighboring stages.
 
-PCA replicates the reference arithmetic exactly. simple/grey_world implement
-the documented OpenCV xphoto algorithms; the installed cv2 wheel has no
-xphoto module, so their bit parity cannot be asserted on this machine —
-semantics follow opencv_contrib xphoto/src/simple_color_balance.cpp and
-grayworld_white_balance.cpp. "learned" (LearningBasedWB) depends on an
-OpenCV built-in trained model; we provide a principled stand-in (gray-world
-/ white-patch blend) and mark it experimental.
+PCA replicates the reference arithmetic exactly. simple/grey_world were
+reverse-engineered against the native libopencv_xphoto 4.6 oracle on this
+machine (native/oracle/xphoto_oracle.cpp; tests/fixtures/wb_oracle/ holds
+golden outputs):
+  * grey_world: bit-exact — integer saturation mask
+    (mx-mn)*255 <= cvRound(thr*255)*mx, integer channel sums, gains
+    cvRound(256 * f32(smin)/f32(s)) applied as (v*gain) >> 8.
+  * simple: exact histogram-walk quantiles (strict < against the f32
+    target p*total/100 from each end) and the affine stretch
+    fma(v, 255/span, -p1*255/span) with single-rounding fma semantics +
+    half-even round; residual vs the oracle is 1 LSB on values whose
+    stretched position is EXACTLY x.5 in a handful of span cases
+    (~1e-5 of pixels; see tests/test_wb_oracle.py).
+"learned" (LearningBasedWB) regresses from a model baked into OpenCV's
+binaries; we provide a principled stand-in (gray-world / white-patch blend)
+and mark it experimental — the oracle can generate goldens but the model
+weights are not extractable as source.
 """
 
 from __future__ import annotations
@@ -27,8 +37,9 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from raw_image_pipeline_tpu.ops.common import round_u8
+from raw_image_pipeline_tpu.ops.common import fma_f32, round_u8
 
 
 def _channel_hists(image: jax.Array) -> jax.Array:
@@ -46,48 +57,58 @@ def _channel_hists(image: jax.Array) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("p",))
 def balance_white_simple(image: jax.Array, p: float) -> jax.Array:
-    """SimpleWB: per-channel percentile stretch.
+    """cv::xphoto::SimpleWB (setP(p)), 8u, default input/output ranges.
 
-    Per channel: find the p/2 % low and high quantile values via a 256-bin
-    histogram and linearly stretch [lo, hi] to [0, 255]
-    (xphoto simple_color_balance.cpp semantics, inputMin/Max 0/255).
+    Per channel (oracle-verified semantics, libopencv_xphoto 4.6):
+      * 256-bin histogram; walk from each end while the cumulative count is
+        strictly below the f32 target p*total/100 — the stop bins are p1/p2;
+      * stretch out = (v - p1) * 255/(p2+1-p1) evaluated as a single-rounded
+        fma (v*k - p1*k), then cvRound (half-even) + saturate.
     """
+    f32 = jnp.float32
     n = image.shape[-3] * image.shape[-2]
-    hist = _channel_hists(image)
-    cum = jnp.cumsum(hist, axis=-1)
-    k = p / 200.0 * n
-    # lo: smallest v with count(x <= v) > k; hi: largest v with count(x >= v) > k
-    lo = jnp.argmax((cum > k).astype(jnp.int32), axis=-1)  # [..., 3]
-    from_top = n - (cum - hist)  # count(x >= v)
-    hi = 255 - jnp.argmax(jnp.flip(from_top > k, axis=-1).astype(jnp.int32), axis=-1)
-    lo_f = lo.astype(jnp.float32)
-    hi_f = hi.astype(jnp.float32)
-    scale = jnp.where(hi_f > lo_f, 255.0 / (hi_f - lo_f), 1.0)
-    xf = image.astype(jnp.float32)
-    out = (xf - lo_f[..., None, None, :]) * scale[..., None, None, :]
+    hist = _channel_hists(image)  # [..., 3, 256] int32
+    target = (f32(p) * f32(n)) / f32(100.0)
+
+    cum = jnp.cumsum(hist, axis=-1).astype(f32)
+    p1 = jnp.sum((cum < target).astype(jnp.int32), axis=-1)  # [..., 3]
+    cum_top = jnp.cumsum(jnp.flip(hist, axis=-1), axis=-1).astype(f32)
+    p2 = 255 - jnp.sum((cum_top < target).astype(jnp.int32), axis=-1)
+
+    span = jnp.maximum(p2 + 1 - p1, 1).astype(f32)
+    k = f32(255.0) / span
+    c = -(p1.astype(f32) * k)
+    x = image.astype(f32)
+    out = fma_f32(x, k[..., None, None, :], c[..., None, None, :])
     return round_u8(out)
 
 
 @partial(jax.jit, static_argnames=("thresh",))
 def balance_white_grey_world(image: jax.Array, thresh: float) -> jax.Array:
-    """GrayworldWB: channel means over low-saturation pixels, gains toward
-    the mean of means (xphoto grayworld_white_balance.cpp semantics)."""
-    x = image.astype(jnp.float32)
-    b, g, r = x[..., 0], x[..., 1], x[..., 2]
+    """cv::xphoto::GrayworldWB (bit-exact vs the libopencv_xphoto 4.6
+    oracle): integer saturation mask, integer channel sums, gains toward the
+    minimum-sum channel in 8.8 fixed point with truncating descale."""
+    i32 = jnp.int32
+    f32 = jnp.float32
+    v = image.astype(i32)
+    b, g, r = v[..., 0], v[..., 1], v[..., 2]
     mx = jnp.maximum(jnp.maximum(b, g), r)
     mn = jnp.minimum(jnp.minimum(b, g), r)
-    sat = jnp.where(mx > 0, (mx - mn) / mx, 0.0)
-    m = (sat <= thresh).astype(jnp.float32)
+    t255 = int(np.rint(np.float32(thresh) * 255))  # cvRound at init
+    m = (mx - mn) * 255 <= t255 * mx
 
-    sb = jnp.sum(b * m, axis=(-2, -1))
-    sg = jnp.sum(g * m, axis=(-2, -1))
-    sr = jnp.sum(r * m, axis=(-2, -1))
-    dmean = (sb + sg + sr) / 3.0
-    gain_b = jnp.where(sb > 0, dmean / sb, 1.0)
-    gain_g = jnp.where(sg > 0, dmean / sg, 1.0)
-    gain_r = jnp.where(sr > 0, dmean / sr, 1.0)
-    gains = jnp.stack([gain_b, gain_g, gain_r], axis=-1)  # [..., 3]
-    return round_u8(x * gains[..., None, None, :])
+    sb = jnp.sum(jnp.where(m, b, 0), axis=(-2, -1))
+    sg = jnp.sum(jnp.where(m, g, 0), axis=(-2, -1))
+    sr = jnp.sum(jnp.where(m, r, 0), axis=(-2, -1))
+    smin = jnp.minimum(jnp.minimum(sb, sg), sr)
+
+    def gain_i(s):
+        gi = jnp.rint(smin.astype(f32) / s.astype(f32) * f32(256.0)).astype(i32)
+        return jnp.where(s > 0, gi, 256)
+
+    gains = jnp.stack([gain_i(sb), gain_i(sg), gain_i(sr)], axis=-1)
+    out = (v * gains[..., None, None, :]) >> 8
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
 @jax.jit

@@ -51,7 +51,12 @@ from raw_image_pipeline_tpu.ops.debayer import (
     debayer,
 )
 from raw_image_pipeline_tpu.ops.flip import flip as flip_op
-from raw_image_pipeline_tpu.ops.gamma import gamma_apply, gamma_corrections
+from raw_image_pipeline_tpu.ops.gamma import (
+    bt709_corrections,
+    gamma_apply,
+    gamma_apply_bt709,
+    gamma_corrections,
+)
 from raw_image_pipeline_tpu.ops.undistortion import (
     estimate_new_camera_matrix,
     init_undistort_rectify_map,
@@ -172,7 +177,13 @@ def make_params(
     else:
         filt_re = filt_im = ccc_bias = zero
 
-    gamma_idx, gamma_val = gamma_corrections(config.gamma_correction.k)
+    gc = config.gamma_correction
+    if gc.gpu and gc.method == "default":
+        # reference GPU backend: fixed BT.709 curve, direction from k
+        # (quirk §8.15; gamma_correction.cpp:29-33, 66-74)
+        gamma_idx, gamma_val = bt709_corrections(gc.k <= 1.0)
+    else:
+        gamma_idx, gamma_val = gamma_corrections(gc.k)
 
     ce = config.color_enhancer
     return IspParams(
@@ -341,10 +352,18 @@ def make_isp_fn(
 
         # 5. gamma
         with jax.named_scope("isp_gamma"):
-            if config.gamma_correction.enabled:
-                img = gamma_apply(
-                    img, params.gamma_k, params.gamma_corr_idx, params.gamma_corr_val
-                )
+            gc = config.gamma_correction
+            if gc.enabled:
+                if gc.gpu and gc.method == "default":
+                    img = gamma_apply_bt709(
+                        img, gc.k <= 1.0,
+                        params.gamma_corr_idx, params.gamma_corr_val,
+                    )
+                else:
+                    img = gamma_apply(
+                        img, params.gamma_k,
+                        params.gamma_corr_idx, params.gamma_corr_val,
+                    )
         dump("04_gamma_correction", img)
 
         # 6. vignetting (Lab roundtrip — 3-channel only)

@@ -46,18 +46,13 @@ def test_config2_debayer_flip_wb_batch(bayer_batch):
         img = cv2.demosaicing(bayer, cv2.COLOR_BayerGB2BGR)
         img = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
         img = cv2.flip(cv2.transpose(img), 1)
-        # grey-world golden (xphoto absent in this cv2 wheel; float64 math)
-        b, g, r = [img[..., c].astype(np.float64) for c in range(3)]
-        mx = np.maximum(np.maximum(b, g), r)
-        mn = np.minimum(np.minimum(b, g), r)
-        sat = np.where(mx > 0, (mx - mn) / mx, 0)
-        m = sat <= 0.8
-        sb, sg, sr = b[m].sum(), g[m].sum(), r[m].sum()
-        dmean = (sb + sg + sr) / 3.0
-        gains = np.array([dmean / sb, dmean / sg, dmean / sr])
-        golden = np.clip(np.rint(img.astype(np.float64) * gains), 0, 255).astype(np.uint8)
+        # grey-world golden: exact xphoto semantics (oracle-verified;
+        # tests/test_wb_oracle.py)
+        from util_wb import xphoto_grey_world
+
+        golden = xphoto_grey_world(img, 0.8)
         d = np.abs(got[i].astype(int) - golden.astype(int))
-        assert d.max() <= 1, d.max()
+        assert d.max() == 0, d.max()
 
 
 def test_config4_colorcal_vignetting_hsv_batch(bayer_batch):

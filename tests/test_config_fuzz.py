@@ -83,14 +83,9 @@ def cv2_golden(bayer, config: PipelineConfig):
     if wb.enabled:
         b, g, r = [img[..., c].astype(np.float64) for c in range(3)]
         if wb.method == "grey_world":
-            mx = np.maximum(np.maximum(b, g), r)
-            mn = np.minimum(np.minimum(b, g), r)
-            sat = np.where(mx > 0, (mx - mn) / mx, 0)
-            m = sat <= wb.saturation_bright_thr
-            sb, sg, sr = b[m].sum(), g[m].sum(), r[m].sum()
-            dmean = (sb + sg + sr) / 3.0
-            gains = np.array([dmean / sb, dmean / sg, dmean / sr])
-            img = np.clip(np.rint(img.astype(np.float64) * gains), 0, 255).astype(np.uint8)
+            from util_wb import xphoto_grey_world
+
+            img = xphoto_grey_world(img, wb.saturation_bright_thr)
         elif wb.method == "pca":
             def pca(c):
                 c2 = c * c

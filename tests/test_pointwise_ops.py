@@ -252,16 +252,14 @@ def test_pca_wb_matches_float64_reference():
 
 
 def test_simple_wb_stretch():
+    from util_wb import xphoto_simple
+
     img = rand_img((50, 50, 3), 12)
     out = np.asarray(balance_white_simple(img, 20.0))
-    assert out.shape == img.shape
-    # p=0: lo=min, hi=max per channel -> full stretch
+    np.testing.assert_array_equal(out, xphoto_simple(img, 20.0))
+    # p=0 keeps the full [min, max] stretch
     out0 = np.asarray(balance_white_simple(img, 0.0))
-    for c in range(3):
-        ch = img[..., c].astype(np.float32)
-        lo, hi = ch.min(), ch.max()
-        ref = np.clip(np.rint((ch - lo) * (255.0 / (hi - lo))), 0, 255)
-        np.testing.assert_array_equal(out0[..., c], ref.astype(np.uint8))
+    np.testing.assert_array_equal(out0, xphoto_simple(img, 0.0))
 
 
 def test_grey_world_wb():
@@ -273,3 +271,41 @@ def test_grey_world_wb():
     # gray image is a fixed point
     gray = np.full((20, 20, 3), 77, np.uint8)
     np.testing.assert_array_equal(np.asarray(balance_white_grey_world(gray, 1.0)), gray)
+
+
+def test_gamma_gpu_default_bt709():
+    """use_gpu + method="default" selects the fixed BT.709 curve with
+    is_forward = (k <= 1.0), like cv::cuda::gammaCorrection
+    (gamma_correction.cpp:29-33, 66-74; quirk §8.15)."""
+    import dataclasses
+    from raw_image_pipeline_tpu.config import PipelineConfig
+    from raw_image_pipeline_tpu.pipeline import build_pipeline
+    from raw_image_pipeline_tpu.ops.gamma import build_bt709_lut
+
+    img = rand_img((32, 48, 3), 21)
+    for k, forward in ((0.9, True), (1.8, False)):
+        cfg = PipelineConfig()
+        cfg = cfg.replace(
+            gamma_correction=dataclasses.replace(
+                cfg.gamma_correction, enabled=True, method="default",
+                k=k, gpu=True,
+            )
+        )
+        pipe = build_pipeline(cfg, "bgr8", frame_hw=img.shape[:2])
+        out, _ = pipe(img[None])
+        lut = build_bt709_lut(forward)
+        np.testing.assert_array_equal(np.asarray(out["processed"])[0], lut[img])
+    # method="custom" keeps the k-LUT even under the GPU backend
+    # (cv::cuda::LookUpTable path, gamma_correction.cpp:62-64)
+    from raw_image_pipeline_tpu.ops.gamma import build_gamma_lut
+    cfg = PipelineConfig()
+    cfg = cfg.replace(
+        gamma_correction=dataclasses.replace(
+            cfg.gamma_correction, enabled=True, method="custom", k=0.9, gpu=True,
+        )
+    )
+    pipe = build_pipeline(cfg, "bgr8", frame_hw=img.shape[:2])
+    out, _ = pipe(img[None])
+    np.testing.assert_array_equal(
+        np.asarray(out["processed"])[0], build_gamma_lut(0.9)[img]
+    )

@@ -1,0 +1,41 @@
+"""Numpy reference for the xphoto WB semantics (oracle-verified; see
+tests/test_wb_oracle.py and ops/white_balance.py docstring)."""
+
+import numpy as np
+
+
+def xphoto_grey_world(img: np.ndarray, thr: float) -> np.ndarray:
+    b, g, r = [img[..., c].astype(np.int64) for c in range(3)]
+    mx = np.maximum(np.maximum(b, g), r)
+    mn = np.minimum(np.minimum(b, g), r)
+    t255 = int(np.rint(np.float32(thr) * 255))
+    m = (mx - mn) * 255 <= t255 * mx
+    sb, sg, sr = int(b[m].sum()), int(g[m].sum()), int(r[m].sum())
+    smin = min(sb, sg, sr)
+    gi = [
+        int(np.rint(np.float32(smin) / np.float32(s) * np.float32(256)))
+        if s > 0 else 256
+        for s in (sb, sg, sr)
+    ]
+    out = np.stack(
+        [(img[..., c].astype(np.int64) * gi[c]) >> 8 for c in range(3)], -1
+    )
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def xphoto_simple(img: np.ndarray, p: float) -> np.ndarray:
+    out = np.empty_like(img)
+    total = img.shape[0] * img.shape[1]
+    target = np.float32(p) * np.float32(total) / np.float32(100)
+    for c in range(3):
+        v = img[..., c]
+        hist = np.bincount(v.ravel(), minlength=256)
+        p1 = int((np.cumsum(hist).astype(np.float32) < target).sum())
+        p2 = 255 - int((np.cumsum(hist[::-1]).astype(np.float32) < target).sum())
+        span = max(p2 + 1 - p1, 1)
+        k = np.float32(255.0) / np.float32(span)
+        c0 = -(np.float32(p1) * k).astype(np.float32)
+        # single-rounded fma via float64 then f32 cast
+        x = (v.astype(np.float64) * np.float64(k) + np.float64(c0)).astype(np.float32)
+        out[..., c] = np.clip(np.rint(x), 0, 255).astype(np.uint8)
+    return out
