@@ -4,7 +4,7 @@ of the same chain (the reference's backend).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": R}
-plus details on stderr.
+plus per-config details (BASELINE.json configs 1-5) on stderr.
 """
 
 import json
@@ -18,16 +18,31 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def tpu_fps(h=1080, w=1920, b_small=4, b_big=32):
-    """Measure steady-state device throughput.
+def _timed_fetch(step, *args, repeats=5):
+    """Min wall time of dispatch+checksum-fetch (the only honest sync on
+    axon, where block_until_ready returns early)."""
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = step(*args)
+        np.asarray(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
-    On the axon platform block_until_ready() returns before execution
-    finishes, so each timing dispatches one jitted pipeline call that
-    reduces its output to a scalar checksum in-graph, and waits for the
-    checksum via a device->host fetch (a genuine sync). The fetch + RPC
-    overhead (~30 ms) is constant, so timing two batch sizes and taking the
-    difference yields the per-frame compute time.
-    """
+
+def _marginal_per_frame(step, pix_small, pix_big, repeats=5):
+    """Per-frame compute time via two-batch differencing (cancels the
+    ~25-35 ms fetch/RPC overhead)."""
+    step(pix_small), step(pix_big)  # compile
+    np.asarray(step(pix_small)), np.asarray(step(pix_big))
+    t_small = _timed_fetch(step, pix_small, repeats=repeats)
+    t_big = _timed_fetch(step, pix_big, repeats=repeats)
+    db = pix_big.shape[0] - pix_small.shape[0]
+    return (t_big - t_small) / db, t_small, t_big
+
+
+def tpu_fps(h=1080, w=1920, b_small=16, b_big=64):
+    """Headline: steady-state full-chain throughput per chip."""
     import jax
     import jax.numpy as jnp
 
@@ -47,34 +62,207 @@ def tpu_fps(h=1080, w=1920, b_small=4, b_big=32):
     # params as explicit jit args (closure device-constants are fetched to
     # host at lowering, unsupported for complex64 on axon)
     @jax.jit
-    def step(p, px):
+    def step_fn(p, px):
         out, _s = pipe.fn(p, px, None)
         return jnp.sum(out["processed"], dtype=jnp.int32)
 
-    def run(b):
-        t0 = time.perf_counter()
-        out = step(params, pix[b])
-        _ = np.asarray(out)  # force completion through the tunnel
-        return time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(step_fn(params, pix[b_small]))
+    log(f"tpu compile+first: {time.perf_counter()-t0:.1f}s on {jax.devices()[0]}")
+
+    dt, t_s, t_b = _marginal_per_frame(
+        lambda px: step_fn(params, px), pix[b_small], pix[b_big]
+    )
+    fps = 1.0 / dt
+    log(f"tpu full chain: {fps:.1f} frames/s ({dt*1e3:.3f} ms/frame compute; "
+        f"t{b_small}={t_s*1e3:.1f}ms t{b_big}={t_b*1e3:.1f}ms)")
+    return fps, dt * 1e3
+
+
+def config_benchmarks(h=1080, w=1920):
+    """Per-config numbers for BASELINE.json configs 1-5 (stderr report)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from raw_image_pipeline_tpu.config import PipelineConfig
+    from raw_image_pipeline_tpu.pipeline import build_pipeline, init_state
+
+    rng = np.random.default_rng(1)
+    results = {}
+
+    def chain_step(pipe, params, with_state=False):
+        if with_state:
+            @jax.jit
+            def step(p, px, st):
+                out, st2 = pipe.fn(p, px, st)
+                return jnp.sum(out["processed"], dtype=jnp.int32), st2
+            return step
+        @jax.jit
+        def step(p, px):
+            out, _ = pipe.fn(p, px, None)
+            return jnp.sum(out["processed"], dtype=jnp.int32)
+        return step
+
+    full = ge._full_config((h, w))
+
+    # --- config 1: debayer + gamma(default), single 1920x1080 frame -------
+    cfg1 = PipelineConfig(
+        gamma_correction=dataclasses.replace(
+            full.gamma_correction, enabled=True, method="default", k=0.9
+        )
+    )
+    pipe1 = build_pipeline(cfg1, "bayer_gbrg8", frame_hw=(h, w))
+    p1 = jax.device_put(pipe1.params)
+    one = jax.device_put(rng.integers(0, 256, (1, h, w), np.uint8))
+    step1 = chain_step(pipe1, p1)
+    np.asarray(step1(p1, one))
+    lat = _timed_fetch(lambda: step1(p1, one), repeats=7)
+    b1s = jax.device_put(rng.integers(0, 256, (16, h, w), np.uint8))
+    b1b = jax.device_put(rng.integers(0, 256, (64, h, w), np.uint8))
+    dt1, _, _ = _marginal_per_frame(lambda px: step1(p1, px), b1s, b1b)
+    results["config1_debayer_gamma"] = {
+        "single_frame_dispatch_ms": round(lat * 1e3, 2),
+        "per_frame_compute_ms": round(dt1 * 1e3, 4),
+        "frames_per_s": round(1 / dt1, 1),
+    }
+
+    # --- config 2: debayer + flip + grey_world WB, batch 64 ---------------
+    cfg2 = PipelineConfig(
+        flip=dataclasses.replace(full.flip, enabled=True, angle=180),
+        white_balance=dataclasses.replace(
+            full.white_balance, enabled=True, method="grey_world",
+            temporal_consistency=False,
+        ),
+    )
+    pipe2 = build_pipeline(cfg2, "bayer_gbrg8", frame_hw=(h, w))
+    p2 = jax.device_put(pipe2.params)
+    step2 = chain_step(pipe2, p2)
+    b2s = jax.device_put(rng.integers(0, 256, (16, h, w), np.uint8))
+    b2b = jax.device_put(rng.integers(0, 256, (64, h, w), np.uint8))
+    dt2, _, _ = _marginal_per_frame(lambda px: step2(p2, px), b2s, b2b)
+    results["config2_debayer_flip_greyworld_b64"] = {
+        "per_frame_compute_ms": round(dt2 * 1e3, 4),
+        "frames_per_s": round(1 / dt2, 1),
+    }
+
+    # --- config 3: full chain + CCC + Kalman temporal consistency ---------
+    cfg3 = full.replace(
+        white_balance=dataclasses.replace(
+            full.white_balance, enabled=True, method="ccc",
+            temporal_consistency=True,
+        )
+    )
+    pipe3 = build_pipeline(cfg3, "bayer_gbrg8", frame_hw=(h, w),
+                           with_state=True, temporal_mode="sequence")
+    p3 = jax.device_put(pipe3.params)
+    step3 = chain_step(pipe3, p3, with_state=True)
+    st = init_state(())
+    b3s = jax.device_put(rng.integers(0, 256, (16, h, w), np.uint8))
+    b3b = jax.device_put(rng.integers(0, 256, (64, h, w), np.uint8))
+
+    def run3(px):
+        s, _ = step3(p3, px, st)
+        return s
+
+    dt3, _, _ = _marginal_per_frame(run3, b3s, b3b)
+    results["config3_streamed_ccc_kalman"] = {
+        "per_frame_compute_ms": round(dt3 * 1e3, 4),
+        "frames_per_s": round(1 / dt3, 1),
+    }
+
+    # --- config 4: colorcal + vignetting + HSV enhancement, batch 512 -----
+    cfg4 = PipelineConfig(
+        color_calibration=dataclasses.replace(
+            full.color_calibration, enabled=True
+        ),
+        vignetting_correction=dataclasses.replace(
+            full.vignetting_correction, enabled=True, scale=1.5, a2=1e-3, a4=1e-6
+        ),
+        color_enhancer=dataclasses.replace(
+            full.color_enhancer, enabled=True, saturation_gain=1.2
+        ),
+    )
+    pipe4 = build_pipeline(cfg4, "bgr8", frame_hw=(h, w))
+    p4 = jax.device_put(pipe4.params)
+    step4 = chain_step(pipe4, p4)
+    for b4 in (512, 256, 128):
+        try:
+            b4s = jax.device_put(rng.integers(0, 256, (b4 // 4, h, w, 3), np.uint8))
+            b4b = jax.device_put(rng.integers(0, 256, (b4, h, w, 3), np.uint8))
+            dt4, _, _ = _marginal_per_frame(lambda px: step4(p4, px), b4s, b4b, repeats=3)
+            results[f"config4_pointwise_b{b4}"] = {
+                "per_frame_compute_ms": round(dt4 * 1e3, 4),
+                "frames_per_s": round(1 / dt4, 1),
+            }
+            break
+        except Exception as e:  # OOM at the big batch — halve and retry
+            log(f"config4 batch {b4} failed ({type(e).__name__}); retrying smaller")
+            continue
+
+    # --- config 5: full chain, 4 cameras (vmapped; multi-host N/A 1-chip) -
+    try:
+        from raw_image_pipeline_tpu.parallel.multicamera import (
+            build_multicamera_pipeline,
+        )
+
+        mc = build_multicamera_pipeline(full, [full.calibration] * 4,
+                                        "bayer_gbrg8", frame_hw=(h, w))
+        pmc = jax.device_put(mc.params)
+
+        @jax.jit
+        def step5(p, px):
+            out, _ = mc.fn(p, px, None)
+            return jnp.sum(out["processed"], dtype=jnp.int32)
+
+        c5s = jax.device_put(rng.integers(0, 256, (4, 4, h, w), np.uint8))
+        c5b = jax.device_put(rng.integers(0, 256, (4, 16, h, w), np.uint8))
+        step5(pmc, c5s), step5(pmc, c5b)
+        np.asarray(step5(pmc, c5s))
+        t_s = _timed_fetch(lambda: step5(pmc, c5s), repeats=3)
+        t_b = _timed_fetch(lambda: step5(pmc, c5b), repeats=3)
+        dt5 = (t_b - t_s) / (4 * 16 - 4 * 4)
+        results["config5_multicamera_4x"] = {
+            "per_frame_compute_ms": round(dt5 * 1e3, 4),
+            "frames_per_s": round(1 / dt5, 1),
+        }
+    except Exception as e:
+        log(f"config5 multicamera skipped: {e}")
+
+    return results
+
+
+def pallas_debayer_check(h=1080, w=1920):
+    """Exercise the compiled (Mosaic) Pallas debayer on the real TPU and
+    assert equality with the XLA bilinear path (VERDICT r01 weak #8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raw_image_pipeline_tpu.ops.debayer import debayer
+
+    rng = np.random.default_rng(2)
+    bay = jax.device_put(rng.integers(0, 256, (2, h, w), np.uint8))
+
+    @jax.jit
+    def diff(px):
+        a = debayer(px, "bayer_gbrg8", "bilinear")
+        b = debayer(px, "bayer_gbrg8", "bilinear_pallas")
+        return jnp.sum((a != b).astype(jnp.int32))
 
     t0 = time.perf_counter()
-    run(b_small)
-    log(f"tpu compile+first: {time.perf_counter()-t0:.1f}s on {jax.devices()[0]}")
-    run(b_big)  # warm/compile the big batch too
-
-    t_small = min(run(b_small) for _ in range(5))
-    t_big = min(run(b_big) for _ in range(5))
-    dt_frame = (t_big - t_small) / (b_big - b_small)
-    fps = 1.0 / dt_frame
-    lat_ms = dt_frame * 1000
-    log(f"tpu: {fps:.1f} frames/s ({lat_ms:.3f} ms/frame compute; "
-        f"t{b_small}={t_small*1000:.1f}ms t{b_big}={t_big*1000:.1f}ms)")
-    return fps, lat_ms
+    n = int(np.asarray(diff(bay)))
+    log(f"pallas debayer (Mosaic compile + run): {n} mismatches vs XLA "
+        f"bilinear ({time.perf_counter()-t0:.0f}s)")
+    return n
 
 
 def cpu_fps(iters=6, h=1080, w=1920):
     """Reference chain composed from cv2 primitives (the reference's CPU
-    backend calls), one frame at a time like the reference node."""
+    backend calls), one frame at a time like the reference node. Thresholds
+    and rounding match the TPU chain's config exactly (bright 0.8/dark 0.1,
+    C++ round-half-away bins)."""
     import cv2
 
     from raw_image_pipeline_tpu.config import DEFAULT_CCC_MODEL_PATH
@@ -92,13 +280,13 @@ def cpu_fps(iters=6, h=1080, w=1920):
     bias_fft = cv2.dft(model.bias, flags=0, nonzeroRows=256)
 
     cfgobj = ge._full_config((h, w))
+    wbc = cfgobj.white_balance
     calib = cfgobj.calibration
     size = (w, h)
     newK = estimate_new_camera_matrix(calib.K(), calib.D(), size, calib.R(), 0.0, size, 1.0)
     mx, my = init_undistort_rectify_map(calib.K(), calib.D(), calib.R(), newK, size)
-    lut = build_gamma_lut(0.9)
+    lut = build_gamma_lut(cfgobj.gamma_correction.k)
     vmask = build_vignetting_mask(h, w, 1.5, 1e-3, 1e-6)
-    M = calib  # noqa
     cmat = cfgobj.color_calibration.matrix_np().astype(np.float32)
     cbias = cfgobj.color_calibration.bias_np().astype(np.float32)
 
@@ -109,17 +297,25 @@ def cpu_fps(iters=6, h=1080, w=1920):
         img = cv2.demosaicing(bayer, cv2.COLOR_BayerGB2BGR)
         img = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
         img = cv2.flip(img, -1)
-        # ccc white balance
+        # ccc white balance — same thresholds as the TPU chain's config
         small = cv2.resize(img, (360, 270))
         f = small.astype(np.float32)
         gray = cv2.cvtColor(f, cv2.COLOR_BGR2GRAY)
-        include = (gray <= 255.0 * 0.8) & (gray > 255.0 * 0.2)
+        include = ((gray <= 255.0 * wbc.saturation_bright_thr)
+                   & (gray > 255.0 * wbc.saturation_dark_thr))
         with np.errstate(divide="ignore"):
             logs = np.log(f)
         finite = np.isfinite(logs).all(-1)
         valid = include & finite
-        u = np.clip(np.nan_to_num(np.round((logs[..., 1] - logs[..., 2] + 1.421875) * 64)), 0, 255).astype(np.int64)
-        v = np.clip(np.nan_to_num(np.round((logs[..., 1] - logs[..., 0] + 1.421875) * 64)), 0, 255).astype(np.int64)
+
+        def bins(d):
+            x = (d + 1.421875) * 64
+            # C++ round(): half away from zero
+            r = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+            return np.clip(np.nan_to_num(r), 0, 255).astype(np.int64)
+
+        u = bins(logs[..., 1] - logs[..., 2])
+        v = bins(logs[..., 1] - logs[..., 0])
         hist = np.zeros((256, 256), np.float32)
         np.add.at(hist, (u[valid], v[valid]), np.float32(1.0 / (270 * 360)))
         hist_fft = cv2.dft(hist, flags=0, nonzeroRows=256)
@@ -218,6 +414,17 @@ def main():
             if attempt == 1:
                 raise
             time.sleep(30)
+    try:
+        cfgs = config_benchmarks()
+        log("per-config (BASELINE.json):")
+        for k, v in cfgs.items():
+            log(f"  {k}: {v}")
+    except Exception as e:
+        log(f"per-config benchmarks skipped: {e}")
+    try:
+        pallas_debayer_check()
+    except Exception as e:
+        log(f"pallas debayer check skipped: {e}")
     try:
         tpu_scaling()
     except Exception as e:

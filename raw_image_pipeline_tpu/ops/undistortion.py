@@ -25,6 +25,7 @@ string except "none" (undistortion.cpp:199-220, SURVEY.md §8.8).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -144,72 +145,118 @@ def init_undistort_rectify_map(
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def remap_bilinear_u8(image: jax.Array, map_x: jax.Array, map_y: jax.Array) -> jax.Array:
-    """cv::remap(INTER_LINEAR, BORDER_CONSTANT, 0) with float32 maps.
+def remap_precompute(
+    map_x: np.ndarray, map_y: np.ndarray, src_hw: Tuple[int, int]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side (init-time) factorization of the remap into one gather
+    index plus four masked bilinear weights per output pixel.
 
-    image: [..., H, W, C] uint8; map_x/map_y: [Ho, Wo] float32.
-    Returns [..., Ho, Wo, C] uint8.
+    The fetch window for output pixel o is the 2x2 block anchored at
+    base = (clip(iy,0,H-2), clip(ix,0,W-2)); the weights are assigned to
+    the four *fetched* positions, with any tap falling outside the image
+    contributing exactly 0 (= cv::remap BORDER_CONSTANT 0). Clipping only
+    ever moves the anchor when the true tap is out of range, and the
+    weight bookkeeping keeps the in-range taps on their fetched slots, so
+    the result is identical to the padded-image formulation (bit-exact vs
+    cv2, see tests/test_undistortion.py) without materializing a padded
+    copy per call.
+
+    Returns (base [N] int32 flat row-major indices into H*W,
+             weights [4, N] float32 for fetched offsets {0, +1, +W, +W+1}).
+    """
+    h, w = src_hw
+    f32 = np.float32
+    mx = np.asarray(map_x)
+    my = np.asarray(map_y)
+    ix = np.floor(mx).astype(np.int64)
+    iy = np.floor(my).astype(np.int64)
+    fx = mx.astype(f32) - ix.astype(f32)
+    fy = my.astype(f32) - iy.astype(f32)
+
+    bx = np.clip(ix, 0, w - 2)
+    by = np.clip(iy, 0, h - 2)
+
+    def axis_weights(i, f, b, n):
+        # weight carried by fetched positions b and b+1 along one axis
+        in0 = (i >= 0) & (i <= n - 1)
+        in1 = (i + 1 >= 0) & (i + 1 <= n - 1)
+        w_lo = (1 - f) * in0  # tap at i
+        w_hi = f * in1  # tap at i+1
+        pos0 = w_lo * (i == b) + w_hi * (i + 1 == b)
+        pos1 = w_lo * (i == b + 1) + w_hi * (i + 1 == b + 1)
+        return pos0.astype(f32), pos1.astype(f32)
+
+    wx0, wx1 = axis_weights(ix, fx, bx, w)
+    wy0, wy1 = axis_weights(iy, fy, by, h)
+    weights = np.stack(
+        [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1]
+    ).reshape(4, -1).astype(f32)
+    base = (by * w + bx).reshape(-1).astype(np.int32)
+    return base, weights
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def remap_bilinear_u8(
+    image: jax.Array, base: jax.Array, weights: jax.Array,
+    out_hw: Tuple[int, int],
+) -> jax.Array:
+    """cv::remap(INTER_LINEAR, BORDER_CONSTANT, 0) with precomputed
+    (base, weights) from remap_precompute.
+
+    image: [..., H, W, C] uint8 -> [..., Ho, Wo, C] uint8.
 
     TPU formulation: XLA's gather is index-rate-bound (~8 ns per index, no
-    matter how many bytes each index fetches), so the kernel spends one
-    index per *output pixel*, not per tap: the image is zero-padded by one
-    pixel (realizing BORDER_CONSTANT for edge taps), flattened to
-    [(H+2)*(W+2), batch*C], and the four bilinear taps are pre-packed into
-    one wide row by concatenating shifted copies — a single row-gather then
-    fetches all taps for every frame and channel at once. Per-frame gather
-    cost scales as 1/batch.
+    matter how many bytes each index fetches), so the kernel spends ONE
+    index per output pixel: the image is flattened to [H*W, batch*C] and
+    the four bilinear taps pre-packed into one wide row by concatenating
+    rolled copies — a single row-gather fetches all taps for every frame
+    and channel at once, and per-frame gather cost scales as 1/batch.
+    Wrapped taps from the rolls carry zero weight by construction.
     """
     h, w = image.shape[-3], image.shape[-2]
     c = image.shape[-1]
     lead = image.shape[:-3]
-    ho, wo = map_x.shape
+    ho, wo = out_hw
     f32 = jnp.float32
 
-    ix = jnp.floor(map_x).astype(jnp.int32)
-    iy = jnp.floor(map_y).astype(jnp.int32)
-    fx = map_x.astype(f32) - ix.astype(f32)
-    fy = map_y.astype(f32) - iy.astype(f32)
-
-    # pad 1px of zeros: edge-adjacent out-of-bounds taps then read real
-    # zeros (BORDER_CONSTANT); anything further out is masked at the end
-    hp, wp = h + 2, w + 2
-    padded = jnp.pad(image, [(0, 0)] * len(lead) + [(1, 1), (1, 1), (0, 0)])
-    # [(H+2)*(W+2), K] with K = prod(lead)*C — taps shared across K
-    arr = padded.reshape((-1, hp * wp, c))
-    arr = jnp.moveaxis(arr, 0, 1).reshape(hp * wp, -1)
+    arr = image.reshape((-1, h * w, c))
+    arr = jnp.moveaxis(arr, 0, 1).reshape(h * w, -1)
     k = arr.shape[1]
     packed = jnp.concatenate(
         [
             arr,
             jnp.roll(arr, -1, axis=0),
-            jnp.roll(arr, -wp, axis=0),
-            jnp.roll(arr, -(wp + 1), axis=0),
+            jnp.roll(arr, -w, axis=0),
+            jnp.roll(arr, -(w + 1), axis=0),
         ],
         axis=1,
-    )  # [hp*wp, 4K]
-
-    inr = (iy >= -1) & (iy <= h - 1) & (ix >= -1) & (ix <= w - 1)
-    base = (
-        jnp.clip(iy + 1, 0, hp - 2) * wp + jnp.clip(ix + 1, 0, wp - 2)
-    ).reshape(-1)
+    )  # [H*W, 4K]
 
     rows = jnp.take(packed, base, axis=0)  # [N, 4K] u8
     # tap groups as column slices (a [N,4,K] reshape gets a tile-padded
     # layout); blend in f32, round to u8 before the output transpose so the
     # transposed temp is 4x smaller
-    w00 = ((1 - fx) * (1 - fy)).reshape(-1, 1)
-    w01 = (fx * (1 - fy)).reshape(-1, 1)
-    w10 = ((1 - fx) * fy).reshape(-1, 1)
-    w11 = (fx * fy).reshape(-1, 1)
     acc = (
-        rows[:, 0:k].astype(f32) * w00
-        + rows[:, k:2 * k].astype(f32) * w01
-        + rows[:, 2 * k:3 * k].astype(f32) * w10
-        + rows[:, 3 * k:4 * k].astype(f32) * w11
-    ) * inr.reshape(-1, 1).astype(f32)
+        rows[:, 0:k].astype(f32) * weights[0][:, None]
+        + rows[:, k:2 * k].astype(f32) * weights[1][:, None]
+        + rows[:, 2 * k:3 * k].astype(f32) * weights[2][:, None]
+        + rows[:, 3 * k:4 * k].astype(f32) * weights[3][:, None]
+    )
     out_u8 = round_u8(acc)  # [N, K]
 
     out = out_u8.reshape(ho * wo, -1, c)
     out = jnp.moveaxis(out, 1, 0).reshape(lead + (ho, wo, c))
     return out
+
+
+def remap_bilinear_u8_from_maps(
+    image: jax.Array, map_x: np.ndarray, map_y: np.ndarray
+) -> jax.Array:
+    """Convenience wrapper taking raw cv2-style float32 maps (host arrays);
+    precomputes (base, weights) on the host per call — prefer
+    remap_precompute + remap_bilinear_u8 for repeated use."""
+    h, w = image.shape[-3], image.shape[-2]
+    base, weights = remap_precompute(np.asarray(map_x), np.asarray(map_y), (h, w))
+    return remap_bilinear_u8(
+        image, jnp.asarray(base), jnp.asarray(weights), np.asarray(map_x).shape
+    )

@@ -61,6 +61,7 @@ from raw_image_pipeline_tpu.ops.undistortion import (
     estimate_new_camera_matrix,
     init_undistort_rectify_map,
     remap_bilinear_u8,
+    remap_precompute,
 )
 from raw_image_pipeline_tpu.ops.vignetting import build_vignetting_mask
 from raw_image_pipeline_tpu.ops.vignetting import correct as vignetting_correct
@@ -89,8 +90,10 @@ class IspParams:
     gamma_corr_val: jax.Array  # [MAX_CORR] u8 patch values
     enhancer_gains: jax.Array  # [3] f32 (H,S,V)
     vignetting_mask: jax.Array  # [H,W] f32 (post-flip dims) or scalar 0 if unused
-    map_x: jax.Array  # [Ho,Wo] f32 undistortion maps (or scalar 0 if unused)
-    map_y: jax.Array
+    # undistortion remap, precomputed from the fisheye maps at init
+    # (ops/undistortion.remap_precompute); scalar 0 when unused
+    remap_base: jax.Array  # [Ho*Wo] i32 gather anchors
+    remap_weights: jax.Array  # [4, Ho*Wo] f32 masked bilinear weights
     # CCC filter DFT (real/imag f32 [256,256]) + spatial bias (or scalar 0)
     ccc_filt_dft_re: jax.Array
     ccc_filt_dft_im: jax.Array
@@ -164,9 +167,13 @@ def make_params(
         # maps stay at the calibration size like the reference
         # (undistortion.cpp:216-238 passes dist_image_size_)
         mx, my = init_undistort_rectify_map(calib.K(), calib.D(), calib.R(), new_K, size)
-        map_x, map_y = jnp.asarray(mx), jnp.asarray(my)
+        # the remap source is the POST-FLIP frame: flip 90/270 swaps its
+        # dims, and the calibration-sized maps then index it with
+        # clamp+mask semantics exactly like cv::remap would
+        base, weights = remap_precompute(mx, my, (fh, fw))
+        remap_base, remap_weights = jnp.asarray(base), jnp.asarray(weights)
     else:
-        map_x = map_y = zero
+        remap_base = remap_weights = zero
 
     if config.white_balance.enabled and config.white_balance.method == "ccc":
         if ccc_model is None:
@@ -196,8 +203,8 @@ def make_params(
             [ce.hue_gain, ce.saturation_gain, ce.value_gain], jnp.float32
         ),
         vignetting_mask=mask,
-        map_x=map_x,
-        map_y=map_y,
+        remap_base=remap_base,
+        remap_weights=remap_weights,
         ccc_filt_dft_re=filt_re,
         ccc_filt_dft_im=filt_im,
         ccc_bias=ccc_bias,
@@ -384,12 +391,16 @@ def make_isp_fn(
             outputs["dist_color"] = img
         with jax.named_scope("isp_undistortion"):
             if run_undist:
+                out_hw = (calib.image_height, calib.image_width)
                 if is_color:
-                    img = remap_bilinear_u8(img, params.map_x, params.map_y)
+                    img = remap_bilinear_u8(
+                        img, params.remap_base, params.remap_weights, out_hw
+                    )
                 else:
                     # remap expects a channel axis; run mono as [..., H, W, 1]
                     img = remap_bilinear_u8(
-                        img[..., None], params.map_x, params.map_y
+                        img[..., None], params.remap_base, params.remap_weights,
+                        out_hw,
                     )[..., 0]
         dump("07_undistortion", img)
 

@@ -8,7 +8,7 @@ from raw_image_pipeline_tpu.ops.undistortion import (
     estimate_new_camera_matrix,
     fisheye_undistort_points,
     init_undistort_rectify_map,
-    remap_bilinear_u8,
+    remap_bilinear_u8_from_maps,
 )
 
 K = np.array(
@@ -53,7 +53,7 @@ def test_remap_parity_random_maps():
     mx = rng.uniform(-5, 85, (50, 70)).astype(np.float32)
     my = rng.uniform(-5, 65, (50, 70)).astype(np.float32)
     ref = cv2.remap(img, mx, my, cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT, borderValue=0)
-    out = np.asarray(remap_bilinear_u8(img, mx, my))
+    out = np.asarray(remap_bilinear_u8_from_maps(img, mx, my))
     np.testing.assert_array_equal(out, ref)
 
 
@@ -62,12 +62,12 @@ def test_full_undistortion_on_fixture():
     newK = estimate_new_camera_matrix(K, D, SIZE, R, 0.0, SIZE, 0.8)
     mx, my = init_undistort_rectify_map(K, D, R, newK, SIZE)
     ref = cv2.remap(img, mx, my, cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT, borderValue=0)
-    out = np.asarray(remap_bilinear_u8(img[None], mx, my))[0]
+    out = np.asarray(remap_bilinear_u8_from_maps(img[None], mx, my))[0]
     d = np.abs(out.astype(int) - ref.astype(int))
     assert d.max() <= 1, d.max()
     assert (d > 0).mean() < 1e-4
     # batched consistency
-    out2 = np.asarray(remap_bilinear_u8(np.stack([img, img]), mx, my))
+    out2 = np.asarray(remap_bilinear_u8_from_maps(np.stack([img, img]), mx, my))
     np.testing.assert_array_equal(out2[0], out2[1])
 
 
