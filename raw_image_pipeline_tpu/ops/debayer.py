@@ -9,10 +9,15 @@ Two algorithms, matching the reference's two backends:
     the adjacent computed row/column (verified empirically against cv2).
   * ``mht`` — Malvar-He-Cutler 5x5 linear demosaic, the algorithm of the
     reference GPU path (``cv::cuda::demosaicing(..., *_MHT)``,
-    modules/debayer.cpp:89-120). Implemented from the MHC'04 paper
-    coefficients (alpha=1/2, beta=5/8, gamma=3/4) with round-half-up
-    descaling; exact bit parity with the CUDA kernel is not asserted (no
-    CUDA reference available on TPU hosts).
+    modules/debayer.cpp:89-120). The interior is bit-identical to the
+    MHC'04 paper stencils evaluated in floats + round-half-even, asserted
+    against an INDEPENDENT pure-numpy float oracle written from the paper
+    (tests/test_debayer.py::test_mht_matches_independent_paper_oracle).
+    The CUDA kernel itself (McGuire GPU formulation of the same stencils,
+    float arithmetic, saturate_cast rounding) is not runnable on TPU
+    hosts, so its exact border convention and .5-tie rounding are not
+    asserted; the 2-px border ring here replicates the outermost computed
+    ring.
 
 Phase convention: OpenCV's COLOR_BayerXX2BGR codes define the CFA phase from
 pixel (1,1), so e.g. ``bayer_bggr8`` (ROS: top-left pixel Blue) maps to a
@@ -166,25 +171,24 @@ def debayer_mht(bayer: jax.Array, phase: str) -> jax.Array:
     cross4 = n1 + s1 + w1 + e1          # 4 edge neighbors
     diag4 = nw + ne_ + sw + se_         # 4 corner neighbors
     axial4 = n2 + s2 + w2 + e2          # 4 two-step axial
-    lr2 = w2 + e2
-    ud2 = n2 + s2
 
-    # MHC'04 filters (x8):
-    # G at R/B site:          (4c + 2*cross4 - axial4) / 8
-    g_at_rb = 4 * c + 2 * cross4 - axial4
-    # R/B at G site, same row: (5c + 4*(w1+e1)) ... canonical x8 form:
-    #   8*[ 1/2 c? ] — use the standard integer stencil:
-    #   value = (5c*8/8...) Use paper coefficients scaled by 8:
-    #   R at G in R-row: 4c + 4*(w1+e1) + 0.5*(axial?) — implemented below
-    # R at green, R-row horizontal neighbors:
-    #   8*R = 5c*?  — canonical integer MHC (as used in most GPU impls):
-    rb_at_g_h = 5 * c + 4 * (w1 + e1) - (nw + ne_ + sw + se_) - (w2 + e2) + ((n2 + s2) >> 1)
-    rb_at_g_v = 5 * c + 4 * (n1 + s1) - (nw + ne_ + sw + se_) - (n2 + s2) + ((w2 + e2) >> 1)
-    # R at B site / B at R site (diagonal): 6c + 2*diag4 - 3/2*axial4
-    rb_at_br = 6 * c + 2 * diag4 - ((3 * axial4) >> 1)
+    # MHC'04 filters scaled by 16 so every paper coefficient (including the
+    # 1/2 and 3/2 terms) is an exact integer — bit-identical to the
+    # float-valued paper stencils + round-half-even (the independent numpy
+    # oracle in tests/test_debayer.py asserts interior equality):
+    # G at R/B site:            (8c + 4*cross4 - 2*axial4) / 16
+    g_at_rb = 8 * c + 4 * cross4 - 2 * axial4
+    # R/B at G, estimate along the row (same-row chroma neighbors):
+    #   (10c + 8*(w1+e1) - 2*diag4 - 2*(w2+e2) + (n2+s2)) / 16
+    rb_at_g_h = 10 * c + 8 * (w1 + e1) - 2 * diag4 - 2 * (w2 + e2) + (n2 + s2)
+    rb_at_g_v = 10 * c + 8 * (n1 + s1) - 2 * diag4 - 2 * (n2 + s2) + (w2 + e2)
+    # R at B site / B at R site: (12c + 4*diag4 - 3*axial4) / 16
+    rb_at_br = 12 * c + 4 * diag4 - 3 * axial4
 
     def desc8(v):
-        return (v + 4) >> 3
+        # v/16 with round-half-even (= rint of the float stencil value)
+        q = (v + 8) >> 4
+        return q - (((v & 15) == 8) & ((q & 1) == 1)).astype(v.dtype)
 
     r_site, g_r_row, g_b_row, b_site = _site_masks(h, w, phase)
     g_site = g_r_row | g_b_row

@@ -17,7 +17,8 @@ def initialize_multihost(
     process_id: Optional[int] = None,
 ) -> None:
     """Initialize jax.distributed (no-op on single-process environments
-    where no coordinator is configured)."""
+    where no coordinator is configured). Exercised cross-process by
+    tests/test_multihost.py (2-process CPU-backend smoke)."""
     import jax
 
     if num_processes is None or num_processes <= 1:
@@ -27,3 +28,33 @@ def initialize_multihost(
         num_processes=num_processes,
         process_id=process_id,
     )
+
+
+def global_data_mesh(axis: str = "data"):
+    """A 1-D mesh over every device in the (possibly multi-host) job —
+    the frame-batch data-parallel axis."""
+    import jax
+    from jax.sharding import Mesh
+
+    import numpy as np
+
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
+def distribute_batch(local_batch, mesh=None, axis: str = "data"):
+    """Form the global frame batch from each process's local shard.
+
+    Every process passes its own [B_local, ...] frames; the result is a
+    global jax.Array of shape [B_local * num_processes, ...] sharded along
+    the leading axis over all devices. This is the multi-host ingestion
+    point: each host's frame pump feeds only its local shard, and the
+    jitted pipeline runs on the global array with GSPMD inserting any
+    cross-host collectives.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if mesh is None:
+        mesh = global_data_mesh(axis)
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.make_array_from_process_local_data(sharding, local_batch)

@@ -85,3 +85,72 @@ def test_bayer16_extension():
     assert got.dtype == np.uint8
     # scaled result equals the >>8 of the 16-bit demosaic (plus CPU swap)
     np.testing.assert_array_equal(got, (out >> 8).astype(np.uint8)[..., ::-1])
+
+
+# --------------------------------------------------------------- MHT oracle
+
+def _mhc_paper_oracle(raw: np.ndarray, phase: str) -> np.ndarray:
+    """INDEPENDENT float implementation of the Malvar-He-Cutler ICASSP'04
+    5x5 linear demosaic, written directly from the paper's filter figures
+    (all coefficients /8): G@R/B: {4c, 2*cross1, -1*axial2}; R/B@G along
+    the chroma row: {5c, 4*row1, -1*diag, -1*row2, +0.5*col2}; R@B/B@R:
+    {6c, 2*diag, -1.5*axial2}. Returns float stencil values rounded
+    half-even (BGR). Border ring (2px) is left as the raw value and is not
+    compared."""
+    h, w = raw.shape
+    x = np.pad(raw.astype(np.float64), 2)
+
+    def sh(dy, dx):
+        return x[2 + dy: 2 + dy + h, 2 + dx: 2 + dx + w]
+
+    c = sh(0, 0)
+    cross1 = sh(-1, 0) + sh(1, 0) + sh(0, -1) + sh(0, 1)
+    diag = sh(-1, -1) + sh(-1, 1) + sh(1, -1) + sh(1, 1)
+    row1 = sh(0, -1) + sh(0, 1)
+    col1 = sh(-1, 0) + sh(1, 0)
+    row2 = sh(0, -2) + sh(0, 2)
+    col2 = sh(-2, 0) + sh(2, 0)
+    axial2 = row2 + col2
+
+    g_at_rb = (4 * c + 2 * cross1 - axial2) / 8.0
+    rb_at_g_row = (5 * c + 4 * row1 - diag - row2 + 0.5 * col2) / 8.0
+    rb_at_g_col = (5 * c + 4 * col1 - diag - col2 + 0.5 * row2) / 8.0
+    rb_at_br = (6 * c + 2 * diag - 1.5 * axial2) / 8.0
+
+    # site masks straight from the phase string: phase[2*(i%2)+(j%2)]
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    site = np.array(list(phase))[(ii % 2) * 2 + (jj % 2)]
+    is_r, is_b = site == "r", site == "b"
+    is_g = site == "g"
+    # green row type: does this green pixel sit in a row containing red?
+    row_has_r = np.zeros((h, w), bool)
+    for i in (0, 1):
+        row_phase = phase[2 * i: 2 * i + 2]
+        row_has_r[i::2, :] = "r" in row_phase
+    g_in_r_row = is_g & row_has_r
+    g_in_b_row = is_g & ~row_has_r
+
+    g = np.where(is_g, c, g_at_rb)
+    r = np.where(
+        is_r, c,
+        np.where(g_in_r_row, rb_at_g_row,
+                 np.where(g_in_b_row, rb_at_g_col, rb_at_br)),
+    )
+    b = np.where(
+        is_b, c,
+        np.where(g_in_b_row, rb_at_g_row,
+                 np.where(g_in_r_row, rb_at_g_col, rb_at_br)),
+    )
+    out = np.stack([b, g, r], -1)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("phase", ["rggb", "grbg", "gbrg", "bggr"])
+def test_mht_matches_independent_paper_oracle(phase):
+    """Interior of debayer_mht is bit-identical to the float MHC'04 paper
+    stencils + round-half-even, via an independently-written numpy oracle."""
+    rng = np.random.default_rng(17)
+    raw = rng.integers(0, 256, (64, 96), np.uint8)
+    ours = np.asarray(debayer_mht(raw, phase))
+    golden = _mhc_paper_oracle(raw, phase)
+    np.testing.assert_array_equal(ours[2:-2, 2:-2], golden[2:-2, 2:-2])
