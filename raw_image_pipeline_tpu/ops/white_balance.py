@@ -149,29 +149,16 @@ def balance_white_pca(image: jax.Array) -> jax.Array:
     return round_u8(out)
 
 
-@partial(jax.jit, static_argnames=("thresh",))
 def balance_white_learned(image: jax.Array, thresh: float) -> jax.Array:
-    """LearningBasedWB stand-in (experimental).
+    """cv::xphoto::LearningBasedWB with the REAL default model
+    (reference: modules/white_balance.cpp:66-71 passes
+    saturation_bright_thr as the saturation threshold).
 
-    cv::xphoto::LearningBasedWB regresses illuminant chromaticity from
-    histogram features with a model baked into OpenCV's binaries, which is
-    not replicable without it. We blend the gray-world and white-patch
-    chromaticity estimates over non-saturated pixels — the two dominant
-    features of that model. Marked experimental in docs.
+    Full implementation — extracted tree ensemble + reverse-engineered
+    simple-feature extraction — lives in ops/learned_wb.py; verified
+    bit-exact against the native libopencv_xphoto on the reference
+    fixtures (tests/test_learned_wb.py).
     """
-    x = image.astype(jnp.float32)
-    b, g, r = x[..., 0], x[..., 1], x[..., 2]
-    mx = jnp.maximum(jnp.maximum(b, g), r)
-    m = (mx < thresh * 255.0).astype(jnp.float32)
+    from raw_image_pipeline_tpu.ops.learned_wb import balance_white_learned_model
 
-    stat = lambda c: (jnp.sum(c * m, axis=(-2, -1)), jnp.max(c * m, axis=(-2, -1)))
-    (sb, mb), (sg_, mg_), (sr, mr) = stat(b), stat(g), stat(r)
-
-    eps = 1e-6
-    gw = jnp.stack([sb, sg_, sr], -1)
-    wp = jnp.stack([mb, mg_, mr], -1)
-    gw = gw / (jnp.sum(gw, -1, keepdims=True) + eps)
-    wp = wp / (jnp.sum(wp, -1, keepdims=True) + eps)
-    est = (gw + wp) / 2.0
-    gains = est[..., 1:2] / (est + eps)  # normalize to green
-    return round_u8(x * gains[..., None, None, :])
+    return balance_white_learned_model(image, thresh)
