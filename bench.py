@@ -218,12 +218,12 @@ def config_benchmarks(h=1080, w=1920):
             return jnp.sum(out["processed"], dtype=jnp.int32)
 
         c5s = jax.device_put(rng.integers(0, 256, (4, 4, h, w), np.uint8))
-        c5b = jax.device_put(rng.integers(0, 256, (4, 16, h, w), np.uint8))
+        c5b = jax.device_put(rng.integers(0, 256, (4, 24, h, w), np.uint8))
         step5(pmc, c5s), step5(pmc, c5b)
         np.asarray(step5(pmc, c5s))
-        t_s = _timed_fetch(lambda: step5(pmc, c5s), repeats=3)
-        t_b = _timed_fetch(lambda: step5(pmc, c5b), repeats=3)
-        dt5 = (t_b - t_s) / (4 * 16 - 4 * 4)
+        t_s = _timed_fetch(lambda: step5(pmc, c5s), repeats=5)
+        t_b = _timed_fetch(lambda: step5(pmc, c5b), repeats=5)
+        dt5 = (t_b - t_s) / (4 * 24 - 4 * 4)
         results["config5_multicamera_4x"] = {
             "per_frame_compute_ms": round(dt5 * 1e3, 4),
             "frames_per_s": round(1 / dt5, 1),
@@ -234,9 +234,10 @@ def config_benchmarks(h=1080, w=1920):
     return results
 
 
-def pallas_debayer_check(h=1080, w=1920):
+def pallas_debayer_check(h=1024, w=1920):
     """Exercise the compiled (Mosaic) Pallas debayer on the real TPU and
-    assert equality with the XLA bilinear path (VERDICT r01 weak #8)."""
+    assert equality with the XLA bilinear path (VERDICT r01 weak #8).
+    The kernel's band DMA needs H % 128 == 0, hence 1024 rows here."""
     import jax
     import jax.numpy as jnp
 

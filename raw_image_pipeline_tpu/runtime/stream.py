@@ -117,37 +117,30 @@ class StreamRunner:
         if self.with_state:
             self.state = init_state(())
 
-    def _run_batch(self, batch: np.ndarray):
-        if self.mesh is not None:
-            from raw_image_pipeline_tpu.parallel.mesh import shard_batch
-
-            batch = shard_batch(batch, self.mesh)
-        if self.with_state:
-            # temporal consistency over the batch-as-time-sequence: the
-            # heavy stages run batched, only the Kalman recurrence scans
-            # over the per-frame measurements (temporal_mode="sequence")
-            outputs, self.state = self.pipe(batch, self.state)
-        else:
-            outputs, _ = self.pipe(batch, None)
-        return {k: np.asarray(v) for k, v in outputs.items()}
-
     def run(
         self,
         frames: Iterable[np.ndarray],
         sink: Callable[[str, int, np.ndarray], None],
     ) -> int:
         """Drain `frames`, calling sink(stream_name, frame_index, image).
-        Returns the number of frames processed."""
-        buf: List[np.ndarray] = []
-        count = 0
+        Returns the number of frames processed.
 
-        def flush():
+        Execution is double-buffered: each batch is staged to the device
+        (async host->device copy) and its pipeline dispatch issued BEFORE
+        the previous batch's outputs are fetched and handed to the sink —
+        so disk IO (the native pump), H2D staging, TPU compute and D2H
+        readback of consecutive batches overlap.
+        """
+        import jax
+
+        count = 0
+        buf: List[np.ndarray] = []
+        in_flight = None  # (n_frames, outputs dict of device arrays)
+
+        def emit(n, outputs):
             nonlocal count
-            if not buf:
-                return
-            batch = np.stack(buf)
-            outputs = self._run_batch(batch)
-            for i in range(batch.shape[0]):
+            outputs = {k: np.asarray(v) for k, v in outputs.items()}
+            for i in range(n):
                 idx = count + i
                 # reference publishes: color (pre-undistort snapshot when
                 # rectifying, else the processed image), color_rect,
@@ -163,14 +156,34 @@ class StreamRunner:
                     if self._slow_counter > self.slow_skip:
                         self._slow_counter = 0
                         sink("color/slow", idx, self._encode(color))
-            count += batch.shape[0]
-            buf.clear()
+            count += n
+
+        def dispatch(batch: np.ndarray):
+            nonlocal in_flight
+            if self.mesh is not None:
+                from raw_image_pipeline_tpu.parallel.mesh import shard_batch
+
+                dev = shard_batch(batch, self.mesh)
+            else:
+                dev = jax.device_put(batch)  # async H2D staging
+            if self.with_state:
+                outputs, self.state = self.pipe(dev, self.state)
+            else:
+                outputs, _ = self.pipe(dev, None)
+            prev = in_flight
+            in_flight = (batch.shape[0], outputs)
+            if prev is not None:
+                emit(*prev)  # fetch previous batch while this one computes
 
         for frame in frames:
             buf.append(np.asarray(frame))
             if len(buf) >= self.batch_size:
-                flush()
-        flush()
+                dispatch(np.stack(buf))
+                buf.clear()
+        if buf:
+            dispatch(np.stack(buf))
+        if in_flight is not None:
+            emit(*in_flight)
         return count
 
     def _encode(self, img: np.ndarray) -> np.ndarray:
