@@ -132,17 +132,35 @@ def test_bgr2gray_f32_exact():
     np.testing.assert_allclose(out, ref, atol=1e-3, rtol=0)
 
 
-def test_lab_forward_near_exact():
-    """Forward Lab: rounded-table integer path matches cv2 at 99.99%
-    (residual +-1 from cv2's interpolated tables at ~1e-4 rate)."""
-    img = rand_img((512, 384, 3), 8)
-    lab_ref = cv2.cvtColor(img, cv2.COLOR_BGR2Lab)
-    lab = np.asarray(cs.bgr_to_lab_u8(img))
-    d = np.abs(lab.astype(int) - lab_ref.astype(int))
-    assert d.max() <= 1, f"Lab fwd diff {d.max()}"
-    assert (d > 0).mean() < 1e-3
-    # L channel is exact
-    np.testing.assert_array_equal(lab[..., 0], lab_ref[..., 0])
+def test_lab_forward_exhaustive_census():
+    """Forward Lab vs cv2 5.0 over ALL 2^24 BGR triples: exactly 1671
+    triples differ (cv2's interpolated trilinear-LUT variant vs our integer
+    path), all by 1 LSB, only in a/b — the L channel is fully exact.
+    Pinned exactly so any regression or improvement is visible."""
+    aa, bb = np.meshgrid(
+        np.arange(256, dtype=np.uint8), np.arange(256, dtype=np.uint8),
+        indexing="ij",
+    )
+    bad = 0
+    worst = 0
+    for b0 in range(0, 256, 64):
+        Bs = np.arange(b0, b0 + 64, dtype=np.uint8)
+        img = np.stack(
+            [
+                np.broadcast_to(Bs[:, None, None], (64, 256, 256)),
+                np.broadcast_to(aa, (64, 256, 256)),
+                np.broadcast_to(bb, (64, 256, 256)),
+            ],
+            axis=-1,
+        ).reshape(64, -1, 3)
+        ref = cv2.cvtColor(img, cv2.COLOR_BGR2Lab).astype(np.int16)
+        got = np.asarray(cs.bgr_to_lab_u8(img)).astype(np.int16)
+        d = np.abs(ref - got)
+        np.testing.assert_array_equal(got[..., 0], ref[..., 0])  # L exact
+        bad += int((d.max(-1) > 0).sum())
+        worst = max(worst, int(d.max()))
+    assert worst <= 1
+    assert bad == 1671, bad
 
 
 def test_lab_inverse_exhaustive_bit_exact():
