@@ -376,8 +376,19 @@ _LAB2_COEF = _lab2_coeffs()
 
 
 def _trunc_div(a: jax.Array, b: int) -> jax.Array:
-    """C/C++ integer division (truncation toward zero) for int32 arrays."""
-    return jnp.where(a >= 0, a // b, -((-a) // b))
+    """C/C++ integer division (truncation toward zero) for int32 arrays.
+
+    Integer division has no fast path on the TPU VPU; compute a float32
+    quotient estimate (error < 1 for the magnitudes used here) and repair
+    it exactly with one integer residue check in each direction.
+    """
+    f32 = jnp.float32
+    q = jnp.trunc(a.astype(f32) * f32(1.0 / b)).astype(jnp.int32)
+    r = a - q * b
+    pos = a >= 0
+    q = q + jnp.where(pos & (r >= b), 1, 0) - jnp.where(pos & (r < 0), 1, 0)
+    q = q - jnp.where(~pos & (r <= -b), 1, 0) + jnp.where(~pos & (r > 0), 1, 0)
+    return q
 
 
 def _lab2_ab_to_xz(i: jax.Array) -> jax.Array:
