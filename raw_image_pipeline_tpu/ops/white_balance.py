@@ -19,16 +19,14 @@ golden outputs):
   * grey_world: bit-exact — integer saturation mask
     (mx-mn)*255 <= cvRound(thr*255)*mx, integer channel sums, gains
     cvRound(256 * f32(smin)/f32(s)) applied as (v*gain) >> 8.
-  * simple: exact histogram-walk quantiles (strict < against the f32
-    target p*total/100 from each end) and the affine stretch
-    fma(v, 255/span, -p1*255/span) with single-rounding fma semantics +
-    half-even round; residual vs the oracle is 1 LSB on values whose
-    stretched position is EXACTLY x.5 in a handful of span cases
-    (~1e-5 of pixels; see tests/test_wb_oracle.py).
-"learned" (LearningBasedWB) regresses from a model baked into OpenCV's
-binaries; we provide a principled stand-in (gray-world / white-patch blend)
-and mark it experimental — the oracle can generate goldens but the model
-weights are not extractable as source.
+  * simple: bit-exact — histogram-walk quantiles (strict < against the
+    f32 target p*total/100 from each end) and the convertTo stretch with
+    double-computed, f32-cast (alpha, beta) coefficients applied as a
+    single-rounded fma + half-even round (semantics read from the
+    library's disassembly; tests/test_wb_oracle.py).
+"learned" (LearningBasedWB) uses the REAL default model — trees extracted
+from the library binary, features and consensus reverse-engineered; see
+ops/learned_wb.py (bit-exact on the reference fixtures).
 """
 
 from __future__ import annotations
@@ -55,15 +53,34 @@ def _channel_hists(image: jax.Array) -> jax.Array:
     return h.reshape(lead + (3, 256))
 
 
+# SimpleWB stretch coefficients: the library computes
+#   alpha = (outputMax-outputMin)/(maxValue-minValue)   in DOUBLE,
+#   beta  = outputMin - minValue*alpha                  in DOUBLE,
+# hands them to cv::Mat::convertTo, which casts both to f32 and applies
+# out = cvRound(fma(v, alpha32, beta32)) per pixel (disassembly of
+# balanceWhiteSimple<uchar> in libopencv_xphoto 4.6). alpha/beta depend
+# only on the per-frame scalars (p1, span), so exact f32 values for every
+# combination are precomputed on the host; the device does 3 scalar
+# lookups per frame.
+_SIMPLE_SPAN = np.arange(257, dtype=np.float64)
+_SIMPLE_SPAN[0] = 1.0
+_SIMPLE_ALPHA64 = 255.0 / _SIMPLE_SPAN  # [257]
+_SIMPLE_ALPHA32 = _SIMPLE_ALPHA64.astype(np.float32)
+_SIMPLE_BETA32 = (
+    -np.arange(256, dtype=np.float64)[:, None] * _SIMPLE_ALPHA64[None, :]
+).astype(np.float32)  # [p1, span] -> f32(-p1 * alpha64)
+
+
 @partial(jax.jit, static_argnames=("p",))
 def balance_white_simple(image: jax.Array, p: float) -> jax.Array:
     """cv::xphoto::SimpleWB (setP(p)), 8u, default input/output ranges.
 
-    Per channel (oracle-verified semantics, libopencv_xphoto 4.6):
-      * 256-bin histogram; walk from each end while the cumulative count is
-        strictly below the f32 target p*total/100 — the stop bins are p1/p2;
-      * stretch out = (v - p1) * 255/(p2+1-p1) evaluated as a single-rounded
-        fma (v*k - p1*k), then cvRound (half-even) + saturate.
+    Per channel (semantics from the libopencv_xphoto 4.6 oracle + its
+    disassembly; bit-exact incl. the exact-.5 stretch positions):
+      * 256-bin histogram; walk from each end while the cumulative count
+        is strictly below the f32 target p*total/100 — stop bins p1/p2;
+      * stretch out = cvRound(fma(v, alpha, beta)) with the
+        double-computed, f32-cast convertTo coefficients above.
     """
     f32 = jnp.float32
     n = image.shape[-3] * image.shape[-2]
@@ -75,11 +92,11 @@ def balance_white_simple(image: jax.Array, p: float) -> jax.Array:
     cum_top = jnp.cumsum(jnp.flip(hist, axis=-1), axis=-1).astype(f32)
     p2 = 255 - jnp.sum((cum_top < target).astype(jnp.int32), axis=-1)
 
-    span = jnp.maximum(p2 + 1 - p1, 1).astype(f32)
-    k = f32(255.0) / span
-    c = -(p1.astype(f32) * k)
+    span = jnp.maximum(p2 + 1 - p1, 1)
+    alpha = jnp.asarray(_SIMPLE_ALPHA32)[span]  # [..., 3] scalar gathers
+    beta = jnp.asarray(_SIMPLE_BETA32)[p1, span]
     x = image.astype(f32)
-    out = fma_f32(x, k[..., None, None, :], c[..., None, None, :])
+    out = fma_f32(x, alpha[..., None, None, :], beta[..., None, None, :])
     return round_u8(out)
 
 

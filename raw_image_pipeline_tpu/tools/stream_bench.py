@@ -1,9 +1,11 @@
-"""One-off: end-to-end StreamRunner throughput on the real TPU from a real
+"""Tool: end-to-end StreamRunner throughput on the real TPU from a real
 frame directory (native pump -> double-buffered H2D -> full chain -> sink),
 VERDICT r01 #10 'done' criterion."""
 import os
 import sys
 import time
+
+sys.path.insert(0, os.getcwd())
 
 import numpy as np
 
@@ -40,7 +42,7 @@ def main():
         counts[stream] = counts.get(stream, 0) + 1
 
     files = sorted(os.path.join(d, f) for f in os.listdir(d))
-    pump = FramePump(files, (h, w), dtype=np.uint8)
+    pump = FramePump(files, (h, w), batch=32)
 
     # warm compile with one small batch
     t0 = time.perf_counter()
@@ -48,7 +50,7 @@ def main():
     log(f"compile+warm: {time.perf_counter()-t0:.1f}s")
 
     t0 = time.perf_counter()
-    n = runner.run(iter(pump), sink)
+    n = runner.run((fr for batch in pump for fr in batch), sink)
     dt = time.perf_counter() - t0
     log(f"streamed {n} frames in {dt:.2f}s = {n/dt:.1f} frames/s end-to-end "
         f"(disk->pump->H2D->chain->D2H->sink); sink calls: {counts}")

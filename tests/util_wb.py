@@ -24,6 +24,8 @@ def xphoto_grey_world(img: np.ndarray, thr: float) -> np.ndarray:
 
 
 def xphoto_simple(img: np.ndarray, p: float) -> np.ndarray:
+    """Bit-exact: convertTo coefficients computed in double, cast to f32,
+    applied as a single-rounded fma + cvRound (see ops/white_balance.py)."""
     out = np.empty_like(img)
     total = img.shape[0] * img.shape[1]
     target = np.float32(p) * np.float32(total) / np.float32(100)
@@ -33,9 +35,11 @@ def xphoto_simple(img: np.ndarray, p: float) -> np.ndarray:
         p1 = int((np.cumsum(hist).astype(np.float32) < target).sum())
         p2 = 255 - int((np.cumsum(hist[::-1]).astype(np.float32) < target).sum())
         span = max(p2 + 1 - p1, 1)
-        k = np.float32(255.0) / np.float32(span)
-        c0 = -(np.float32(p1) * k).astype(np.float32)
+        alpha64 = 255.0 / span
+        alpha32 = np.float32(alpha64)
+        beta32 = np.float32(-p1 * alpha64)
         # single-rounded fma via float64 then f32 cast
-        x = (v.astype(np.float64) * np.float64(k) + np.float64(c0)).astype(np.float32)
+        x = (v.astype(np.float64) * np.float64(alpha32)
+             + np.float64(beta32)).astype(np.float32)
         out[..., c] = np.clip(np.rint(x), 0, 255).astype(np.uint8)
     return out
