@@ -1,8 +1,11 @@
-"""One-off: validate TPU-backend numerics against CPU-backend golden outputs
+"""Tool: validate TPU-backend numerics against CPU-backend golden outputs
 for the exact colorspaces and the full chain. The CorrectedTable corrections
 derive per-backend, so the TPU needs its own check."""
+import os
 import sys
 import time
+
+sys.path.insert(0, os.getcwd())
 
 import numpy as np
 
@@ -51,9 +54,24 @@ def main():
         bad += int(np.asarray(d))
     log(f"TPU hsv_to_bgr exhaustive: {bad} mismatches")
 
-    # full chain TPU vs CPU-jax golden (run the CPU side in a subprocess-free
-    # way: compute with numpy path? -> instead compare against committed
-    # behavior: run pipeline on TPU, compare vs cv2 composition like tests
+    # statistical WB on TPU vs committed oracle goldens
+    from raw_image_pipeline_tpu.ops.white_balance import (
+        balance_white_grey_world, balance_white_simple, balance_white_learned,
+    )
+    img = cv2.imread("tests/fixtures/alphasense.png")
+    for name, fn, gold in [
+        ("grey_world", lambda im: balance_white_grey_world(im, 0.8),
+         "tests/fixtures/wb_oracle/alphasense_grey_0.8.png"),
+        ("simple", lambda im: balance_white_simple(im, 20.0),
+         "tests/fixtures/wb_oracle/alphasense_simple_20.0.png"),
+        ("learned", lambda im: balance_white_learned(im, 0.8),
+         "tests/fixtures/wb_oracle/alphasense_learned_0.8.png"),
+    ]:
+        ref = cv2.imread(gold)
+        got = np.asarray(fn(img[None]))[0]
+        d = int(np.abs(got.astype(np.int64) - ref.astype(np.int64)).max())
+        log(f"TPU {name} WB vs oracle golden: max diff {d}")
+
     import __graft_entry__ as ge
     from raw_image_pipeline_tpu.pipeline import build_pipeline
     h, w = 540, 720
