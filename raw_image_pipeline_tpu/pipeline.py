@@ -110,6 +110,33 @@ def init_state(batch_shape: Tuple[int, ...] = ()) -> IspState:
     return ccc_ops.kalman_init(batch_shape)
 
 
+def save_state(state: IspState, path: str) -> None:
+    """Checkpoint the cross-frame state (the CCC Kalman illuminant track)
+    to an .npz. The reference holds this state only in process memory
+    (cv::KalmanFilter member, ccc.cpp:300-340); persisting it lets a
+    streaming job resume its illuminant track across restarts."""
+    import numpy as np
+
+    np.savez(
+        path,
+        x=np.asarray(state.x),
+        p=np.asarray(state.p),
+        initialized=np.asarray(state.initialized),
+    )
+
+
+def load_state(path: str) -> IspState:
+    """Restore a checkpoint written by save_state."""
+    import numpy as np
+
+    d = np.load(path)
+    return ccc_ops.KalmanState(
+        x=jnp.asarray(d["x"]),
+        p=jnp.asarray(d["p"]),
+        initialized=jnp.asarray(d["initialized"]),
+    )
+
+
 @dataclass
 class BuiltPipeline:
     """A pipeline traced for one static signature."""

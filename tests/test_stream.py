@@ -71,3 +71,23 @@ def test_camera_infos():
     assert infos["rect"].distortion_model == "plumb_bob"
     assert infos["rect"].D == [0.0, 0.0, 0.0, 0.0]
     assert infos["dist"].width == 720
+
+
+def test_state_checkpoint_resume(tmp_path):
+    """The Kalman illuminant track checkpoints to disk and resumes with
+    bit-identical downstream behavior (SURVEY §5 checkpoint/resume)."""
+    import numpy as np
+    from raw_image_pipeline_tpu.ops import ccc
+    from raw_image_pipeline_tpu.pipeline import init_state, load_state, save_state
+
+    st = init_state(())
+    st, _ = ccc.kalman_update(st, np.array([100, 120], np.int32))
+    st, _ = ccc.kalman_update(st, np.array([110, 125], np.int32))
+    path = str(tmp_path / "wb_state.npz")
+    save_state(st, path)
+    st2 = load_state(path)
+    a = ccc.kalman_update(st, np.array([90, 140], np.int32))
+    b = ccc.kalman_update(st2, np.array([90, 140], np.int32))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_array_equal(np.asarray(a[0].x), np.asarray(b[0].x))
+    np.testing.assert_array_equal(np.asarray(a[0].p), np.asarray(b[0].p))
