@@ -188,6 +188,9 @@ def config_benchmarks(h=1080, w=1920):
     pipe4 = build_pipeline(cfg4, "bgr8", frame_hw=(h, w))
     p4 = jax.device_put(pipe4.params)
     step4 = chain_step(pipe4, p4)
+    # batch 512 (the BASELINE figure) needs ~13 GB of u8/f32 working set at
+    # 1080p and OOMs on a single 16 GB v5e chip; the fallback halves until
+    # it fits and the report names the batch actually used
     for b4 in (512, 256, 128):
         try:
             b4s = jax.device_put(rng.integers(0, 256, (b4 // 4, h, w, 3), np.uint8))
