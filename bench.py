@@ -259,6 +259,10 @@ def pallas_debayer_check(h=1024, w=1920):
     n = int(np.asarray(diff(bay)))
     log(f"pallas debayer (Mosaic compile + run): {n} mismatches vs XLA "
         f"bilinear ({time.perf_counter()-t0:.0f}s)")
+    if n != 0:
+        raise AssertionError(
+            f"PALLAS DEBAYER REGRESSION: {n} pixels differ from the XLA path"
+        )
     return n
 
 
@@ -427,6 +431,8 @@ def main():
         log(f"per-config benchmarks skipped: {e}")
     try:
         pallas_debayer_check()
+    except AssertionError as e:
+        log(f"!!! {e}")  # kernel regression — loud, but keep the metric line
     except Exception as e:
         log(f"pallas debayer check skipped: {e}")
     try:

@@ -11,6 +11,12 @@ Jitted pipelines are cached per (shape, encoding); setters invalidate the
 cache, so reconfiguring behaves like the reference's stateful setters
 without recompiling on every call. Changing only numeric values (e.g.
 calibration matrices) rebuilds the parameter pytree, not the trace.
+
+Note on batch shapes: each distinct batch size is its own trace (XLA wants
+static shapes). Callers streaming with CCC temporal consistency should
+feed a FIXED batch size (pad or buffer to it) — a drained-queue pattern
+with varying sizes pays a full-chain compile per new size. StreamRunner
+already batches to a fixed size for this reason.
 """
 
 from __future__ import annotations

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from raw_image_pipeline_tpu.ops.common import descale
+from raw_image_pipeline_tpu.ops.common import descale, fma_f32
 from raw_image_pipeline_tpu.ops.lut import CorrectedTable
 
 # ---------------------------------------------------------------------------
@@ -102,31 +102,13 @@ _SECTOR_DATA = (
 
 
 def _dekker_fma_1_minus(s: jax.Array, ff: jax.Array) -> jax.Array:
-    """rnd32(1 - s*ff) with a SINGLE rounding — an emulated fused
-    multiply-add built from plain f32 mul/add/sub (Dekker 2Product +
-    Fast2Sum), so it is reproducible on backends without explicit fma.
+    """rnd32(1 - s*ff) with a SINGLE rounding — the shared emulated fused
+    multiply-add (ops/common.fma_f32, Dekker 2Product + TwoSum).
 
     cv2 5.0's SIMD HSV2BGR computes the v-table entries with real fmas;
     replicating the single-rounding semantics is what makes the conversion
-    below bit-exact. All intermediate ops are individually IEEE
-    round-to-nearest f32, which both XLA:CPU and the TPU VPU provide.
-    """
-    f32 = jnp.float32
-    C = f32(4097.0)  # 2^12 + 1 Dekker split constant
-    one = f32(1.0)
-
-    ca = s * C
-    shi = ca - (ca - s)
-    slo = s - shi
-    cb = ff * C
-    fhi = cb - (cb - ff)
-    flo = ff - fhi
-
-    p = s * ff
-    err = (((shi * fhi - p) + shi * flo) + slo * fhi) + slo * flo
-    d = one - p
-    e2 = (one - d) - p  # exact error of (1 - p): Fast2Sum, |1| >= |p|
-    return d + (e2 - err)
+    below bit-exact (verified exhaustively over all 2^24 inputs)."""
+    return fma_f32(-s, ff, jnp.float32(1.0))
 
 
 @jax.jit

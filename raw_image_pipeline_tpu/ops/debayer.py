@@ -151,9 +151,11 @@ def debayer_bilinear(bayer: jax.Array, phase: str) -> jax.Array:
 def debayer_mht(bayer: jax.Array, phase: str) -> jax.Array:
     """Malvar-He-Cutler 5x5 linear demosaic (reference GPU algorithm).
 
-    Integer arithmetic: filters scaled by 8, round-half-up descale by 3,
-    clamp to [0,255]. Border: 2-px zero padding then border replication of
-    the outermost computed ring (approximation of the CUDA kernel's
+    Integer arithmetic: filters scaled by 16 (so the paper's 1/2 and 3/2
+    coefficients are integers), descale by 4 bits with round-half-even —
+    bit-identical to the float paper stencils + rint (asserted against an
+    independent numpy oracle). Border: 2-px zero padding then replication
+    of the outermost computed ring (approximation of the CUDA kernel's
     border handling; interior is the exact MHC'04 stencil).
     """
     h, w = bayer.shape[-2], bayer.shape[-1]

@@ -195,10 +195,11 @@ def remap_precompute(
     return base, weights
 
 
-@partial(jax.jit, static_argnames=("out_hw",))
+@partial(jax.jit, static_argnames=("out_hw", "src_hw"))
 def remap_bilinear_u8(
     image: jax.Array, base: jax.Array, weights: jax.Array,
     out_hw: Tuple[int, int],
+    src_hw: Tuple[int, int] | None = None,
 ) -> jax.Array:
     """cv::remap(INTER_LINEAR, BORDER_CONSTANT, 0) with precomputed
     (base, weights) from remap_precompute.
@@ -214,6 +215,14 @@ def remap_bilinear_u8(
     Wrapped taps from the rolls carry zero weight by construction.
     """
     h, w = image.shape[-3], image.shape[-2]
+    if src_hw is not None and (h, w) != tuple(src_hw):
+        # base/weights are precomputed against a specific source size; a
+        # different frame would flatten with the wrong row stride and
+        # silently produce scrambled output
+        raise ValueError(
+            f"remap precomputed for source {tuple(src_hw)} but got frame "
+            f"({h}, {w}); rebuild the pipeline for this frame size"
+        )
     c = image.shape[-1]
     lead = image.shape[:-3]
     ho, wo = out_hw

@@ -92,6 +92,11 @@ def balance_white_simple(image: jax.Array, p: float) -> jax.Array:
     cum_top = jnp.cumsum(jnp.flip(hist, axis=-1), axis=-1).astype(f32)
     p2 = 255 - jnp.sum((cum_top < target).astype(jnp.int32), axis=-1)
 
+    # degenerate p (>= ~50%): the f32 target can exceed the pixel count and
+    # both walks run off the histogram (UB in the C++ loop); clamp to the
+    # last bin instead of silently gathering a wrong coefficient
+    p1 = jnp.clip(p1, 0, 255)
+    p2 = jnp.clip(p2, 0, 255)
     span = jnp.maximum(p2 + 1 - p1, 1)
     alpha = jnp.asarray(_SIMPLE_ALPHA32)[span]  # [..., 3] scalar gathers
     beta = jnp.asarray(_SIMPLE_BETA32)[p1, span]
@@ -114,9 +119,12 @@ def balance_white_grey_world(image: jax.Array, thresh: float) -> jax.Array:
     t255 = int(np.rint(np.float32(thresh) * 255))  # cvRound at init
     m = (mx - mn) * 255 <= t255 * mx
 
-    sb = jnp.sum(jnp.where(m, b, 0), axis=(-2, -1))
-    sg = jnp.sum(jnp.where(m, g, 0), axis=(-2, -1))
-    sr = jnp.sum(jnp.where(m, r, 0), axis=(-2, -1))
+    # uint32 accumulation: exact for frames up to ~16.8 MP (255 * n < 2^32);
+    # int32 would wrap above ~8.4 MP
+    u32 = jnp.uint32
+    sb = jnp.sum(jnp.where(m, b, 0).astype(u32), axis=(-2, -1))
+    sg = jnp.sum(jnp.where(m, g, 0).astype(u32), axis=(-2, -1))
+    sr = jnp.sum(jnp.where(m, r, 0).astype(u32), axis=(-2, -1))
     smin = jnp.minimum(jnp.minimum(sb, sg), sr)
 
     def gain_i(s):

@@ -71,9 +71,15 @@ def build_multicamera_pipeline(
     # trace with a per-camera calibration in place: make_isp_fn decides
     # whether the remap stage exists from config.calibration (all cameras
     # share availability/model by the size check above)
+    from raw_image_pipeline_tpu.pipeline import _post_flip_shape
+
+    src_hw = _post_flip_shape(
+        *frame_hw, base_config.flip.angle if base_config.flip.enabled else 0
+    )
     single_fn = make_isp_fn(
         base_config.replace(calibration=calibrations[0]),
         encoding, with_state, keep_intermediates=False,
+        remap_src_hw=src_hw,
     )
     if with_state:
         vfn = jax.vmap(single_fn, in_axes=(0, 0, 0))

@@ -245,6 +245,7 @@ def make_isp_fn(
     keep_intermediates: bool = True,
     debug: bool = False,
     temporal_mode: str = "cameras",
+    remap_src_hw: Optional[Tuple[int, int]] = None,
 ):
     """Trace-time assembly of the chain for a fixed encoding.
 
@@ -421,13 +422,14 @@ def make_isp_fn(
                 out_hw = (calib.image_height, calib.image_width)
                 if is_color:
                     img = remap_bilinear_u8(
-                        img, params.remap_base, params.remap_weights, out_hw
+                        img, params.remap_base, params.remap_weights, out_hw,
+                        remap_src_hw,
                     )
                 else:
                     # remap expects a channel axis; run mono as [..., H, W, 1]
                     img = remap_bilinear_u8(
                         img[..., None], params.remap_base, params.remap_weights,
-                        out_hw,
+                        out_hw, remap_src_hw,
                     )[..., 0]
         dump("07_undistortion", img)
 
@@ -472,8 +474,14 @@ def build_pipeline(
     ):
         ccc_model = load_ccc_model(config.white_balance.ccc_model_path)
     params = make_params(config, frame_hw, ccc_model)
+    # the remap's base/weights are precomputed against the post-flip dims of
+    # frame_hw; the traced fn checks actual frames against this at trace time
+    src_hw = _post_flip_shape(
+        *frame_hw, config.flip.angle if config.flip.enabled else 0
+    )
     raw_fn = make_isp_fn(
-        config, encoding, with_state, keep_intermediates, debug, temporal_mode
+        config, encoding, with_state, keep_intermediates, debug, temporal_mode,
+        remap_src_hw=src_hw,
     )
     jitted = jax.jit(raw_fn, donate_argnums=(1,) if donate else ())
     return BuiltPipeline(config=config, params=params, ccc_model=ccc_model, fn=jitted)

@@ -67,11 +67,19 @@ class LatestFrameSource:
 class DirectoryWatchSource:
     """Live file ingest: yields frames for files appearing in a directory.
 
-    With latest_only=True (default) it skips to the NEWEST unseen file at
-    each poll, dropping older unprocessed ones — the queue-size-1
-    behavior; with latest_only=False every new file is yielded in order.
-    Iteration ends when `stop` (a callable) returns True and no new file
-    is pending.
+    With latest_only=True (default) it skips to the newest (lexicographically
+    largest) unseen file at each poll, dropping the others — the
+    queue-size-1 behavior; with latest_only=False every new file is yielded
+    in name order. Iteration ends when `stop` (a callable) returns True and
+    no new file is pending.
+
+    Producers should write frames ATOMICALLY (write to a temp name, then
+    rename into the watched directory) — a file is loaded as soon as it is
+    listed; `min_age_s` > 0 additionally ignores files modified within the
+    last `min_age_s` seconds as a settle window for non-atomic writers.
+    Frame names need not be monotone: every file is tracked individually
+    (a `seen` set), so `frame_9` followed by `frame_10` works even though
+    the names sort the other way.
     """
 
     def __init__(
@@ -81,6 +89,7 @@ class DirectoryWatchSource:
         pattern: str = "",
         latest_only: bool = True,
         poll_s: float = 0.01,
+        min_age_s: float = 0.0,
         stop: Optional[Callable[[], bool]] = None,
     ):
         self.directory = directory
@@ -88,6 +97,7 @@ class DirectoryWatchSource:
         self.pattern = pattern
         self.latest_only = latest_only
         self.poll_s = poll_s
+        self.min_age_s = min_age_s
         self._stop = stop or (lambda: False)
         self.dropped = 0
 
@@ -96,20 +106,30 @@ class DirectoryWatchSource:
             f for f in os.listdir(self.directory)
             if self.pattern in f
         )
+        if self.min_age_s > 0:
+            cutoff = time.time() - self.min_age_s
+            settled = []
+            for f in names:
+                try:
+                    if os.path.getmtime(os.path.join(self.directory, f)) <= cutoff:
+                        settled.append(f)
+                except OSError:
+                    pass  # vanished between listdir and stat
+            names = settled
         return names
 
     def __iter__(self) -> Iterator[np.ndarray]:
-        seen_upto = ""  # all files <= this name have been seen/skipped
+        seen = set()
         while True:
-            fresh = [f for f in self._listing() if f > seen_upto]
+            fresh = [f for f in self._listing() if f not in seen]
             if not fresh:
                 if self._stop():
                     return
                 time.sleep(self.poll_s)
                 continue
+            seen.update(fresh)
             if self.latest_only:
                 self.dropped += len(fresh) - 1
                 fresh = fresh[-1:]
             for f in fresh:
-                seen_upto = f
                 yield self.loader(os.path.join(self.directory, f))

@@ -272,3 +272,23 @@ def test_1_6mp_calibration_chain(bayer_frame):
                        borderMode=cv2.BORDER_CONSTANT, borderValue=0)
     d = np.abs(out.astype(int) - golden.astype(int))
     assert d.max() <= 1
+
+
+def test_remap_rejects_mismatched_frame_size():
+    """The remap's precomputed anchors are tied to the build-time frame
+    size; feeding a different size must raise, not scramble."""
+    import pytest as _pytest
+    from raw_image_pipeline_tpu.config import PipelineConfig, load_camera_calibration
+    from raw_image_pipeline_tpu.pipeline import build_pipeline
+
+    import dataclasses
+    cfg = PipelineConfig(
+        calibration=load_camera_calibration("configs/alphasense_calib_example.yaml")
+    )
+    cfg = cfg.replace(
+        undistortion=dataclasses.replace(cfg.undistortion, enabled=True)
+    )
+    pipe = build_pipeline(cfg, "bayer_gbrg8", frame_hw=(540, 720))
+    wrong = np.zeros((1, 1080, 1440), np.uint8)
+    with _pytest.raises(ValueError, match="remap precomputed for source"):
+        pipe(wrong)

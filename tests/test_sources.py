@@ -68,3 +68,21 @@ def test_directory_watch_source_ordered(tmp_path):
     )
     vals = [int(f[0]) for f in src]
     assert vals == [0, 1, 2, 3]
+
+
+def test_directory_watch_source_non_monotone_names(tmp_path):
+    """frame_9 then frame_10: lexicographically decreasing names must not
+    be dropped (per-file seen tracking, not a high-water mark)."""
+    d = str(tmp_path)
+    stop = {"s": False}
+    src = DirectoryWatchSource(
+        d, loader=lambda p: np.fromfile(p, np.uint8),
+        latest_only=False, poll_s=0.002, stop=lambda: stop["s"],
+    )
+    np.full(2, 9, np.uint8).tofile(os.path.join(d, "frame_9.raw"))
+    it = iter(src)
+    assert int(next(it)[0]) == 9
+    np.full(2, 10, np.uint8).tofile(os.path.join(d, "frame_10.raw"))
+    assert int(next(it)[0]) == 10
+    stop["s"] = True
+    assert list(it) == []
