@@ -14,9 +14,9 @@ tests/test_colorspace.py):
   * hsv_to_bgr_u8:   bit-exact, verified against ALL 256^3 u8 HSV inputs
     (f32 chain with emulated-fma single rounding + final truncation,
     replicating cv2 5.0's SIMD).
-  * bgr_to_lab_u8: classic integer-table path, matches cv2 5.0 at 99.99%
-    (cv2's forward uses an interpolated variant; residual is +-1 at ~1e-4
-    rate).
+  * bgr_to_lab_u8: bit-exact, verified against ALL 256^3 u8 BGR inputs
+    (classic integer-table path; the cbrt table is built with an exact
+    replica of OpenCV's softfloat f32 arithmetic, see _build_lab_tables).
   * lab_to_bgr_u8: bit-exact replica of cv2 5.0's Lab2RGBinteger fixed
     point path, verified against ALL 256^3 u8 Lab inputs.
   * bgr_to_gray_f32: exact (float32 Y = 0.299R + 0.587G + 0.114B).
@@ -163,17 +163,64 @@ _XYZ_COEF = (
 )
 
 
+def _softfloat_cbrt_f32(xbits: np.ndarray) -> np.ndarray:
+    """Bit-exact replica of OpenCV's cv::cbrt(softfloat) (host, init time).
+
+    Reverse-engineered from libopencv_core 4.6 (f32_cbrt): cv::cubeRoot's
+    quartic rational polynomial evaluated in IEEE f64 on the fraction
+    (f32 bits split so fr in [0.125, 1)), then the f64 quotient is
+    converted to f32 by mantissa TRUNCATION (bits >> 29) with the result
+    exponent rebuilt as (ex - shx)/3 — not a rounded conversion. Verified
+    equal on 200k random f32 bit patterns plus the whole LabCbrtTab_b
+    domain. In/out are f32 bit patterns (uint32)."""
+    xbits = np.asarray(xbits, np.uint32)
+    ix = (xbits & 0x7FFFFFFF).astype(np.int64)
+    sign = xbits & 0x80000000
+    ex = (ix >> 23) - 127
+    shx = np.fmod(ex, 3)  # C trunc semantics
+    shx = shx - np.where(shx >= 0, 3, 0)
+    ex_out = (ex - shx) // 3  # exact: (ex - shx) divisible by 3
+    frbits = ((ix & ((1 << 23) - 1)) | ((shx + 127) << 23)).astype(np.uint32)
+    fr = frbits.view(np.float32).astype(np.float64)
+    num = (((45.2548339756803022511987494 * fr + 192.2798368355061050458134625) * fr
+            + 119.1654824285581628956914143) * fr + 13.43250139086239872172837314) * fr \
+        + 0.1636161226585754240958355063
+    den = (((14.80884093219134573786480845 * fr + 151.9714051044435648658557668) * fr
+            + 168.5254414101568283957668343) * fr + 33.9905941350215598754191872) * fr + 1.0
+    q = num / den  # in [0.5, 1): cbrt of fr
+    man = (q.view(np.uint64) >> np.uint64(29)) & np.uint64(0x7FFFFF)
+    out = (sign.astype(np.uint64)
+           | ((126 + ex_out).astype(np.uint64) << np.uint64(23)) | man)
+    return np.where(ix == 0, xbits, out.astype(np.uint32))
+
+
 def _build_lab_tables():
-    # rounded (not truncated) table construction matches cv2 5.0's 8u path
-    # at 99.99% exactly (residual +-1 at ~1e-4 rate from its interpolated
-    # variant; measured in tests/test_pointwise_ops.py)
+    # rounded (not truncated) gamma-table construction matches cv2 5.0's
+    # 8u path exactly (verified against the table dumped from a live
+    # libopencv_imgproc 4.6, itself exhaustively equal to cv2 5.0)
     i = np.arange(256, dtype=np.float64) / 255.0
     lin = np.where(i <= 0.04045, i / 12.92, ((i + 0.055) / 1.055) ** 2.4)
     gamma_tab = np.rint(255.0 * (1 << _GAMMA_SHIFT) * lin).astype(np.int32)
 
-    x = np.arange(_CBRT_TAB_SIZE) * (1.0 / (255 * (1 << _GAMMA_SHIFT)))
-    fx = np.where(x < 0.008856, x * 7.787 + 0.13793103448275862, np.cbrt(x))
-    cbrt_tab = np.rint((1 << _LAB_SHIFT2) * fx).astype(np.int32)
+    # cbrt table: OpenCV builds this with softfloat (f32) arithmetic —
+    # x = i * (1/2040) in f32, cbrt via the truncating polynomial above,
+    # scaled by 2^15 in f32, cvRound = half-to-even. Two entries (49, 628)
+    # land exactly on .5 in f32 and differ from a float64 build; matching
+    # the construction op-for-op makes the whole BGR->Lab conversion
+    # bit-exact vs cv2 on all 2^24 inputs (tests/test_pointwise_ops.py).
+    f32 = np.float32
+    scale = f32(1.0) / (f32(255) * f32(1 << _GAMMA_SHIFT))
+    x = (scale * np.arange(_CBRT_TAB_SIZE, dtype=f32)).astype(f32)
+    lthresh = (f32(216) / f32(24389)).astype(f32)
+    lscale = (f32(841) / f32(108)).astype(f32)
+    lbias = (f32(16) / f32(116)).astype(f32)
+    # mulAdd(x, lscale, lbias): fused (single-rounding) via exact f64
+    lin_branch = (x.astype(np.float64) * np.float64(lscale)
+                  + np.float64(lbias)).astype(f32)
+    cbrt_branch = _softfloat_cbrt_f32(x.view(np.uint32)).view(f32)
+    fx = np.where(x < lthresh, lin_branch, cbrt_branch)
+    scaled = (f32(1 << _LAB_SHIFT2) * fx).astype(f32)
+    cbrt_tab = np.rint(scaled.astype(np.float64)).astype(np.int32)  # half-even
 
     coef = np.array(
         [
@@ -216,12 +263,12 @@ _LAB_CBRT = CorrectedTable(_cbrt_formula, _CBRT_TAB)
 
 @jax.jit
 def bgr_to_lab_u8(image: jax.Array) -> jax.Array:
-    """OpenCV-style integer BGR->Lab for uint8 (sRGB gamma, D65).
+    """Bit-exact replica of cv::cvtColor(COLOR_BGR2Lab) for uint8
+    (sRGB gamma, D65; verified against all 2^24 inputs).
 
-    Within 2 LSB of cv2 5.0's bit-exact LUT path; see module docstring.
     Both integer tables (256-entry sRGB linearize, 3072-entry cbrt) are
     served by their float formulas with device-derived sparse corrections
-    (ops/lut.py), exactly matching the host-built tables.
+    (ops/lut.py), exactly matching cv2's softfloat-built host tables.
     """
     C = [int(c) for c in _LAB_COEF]
 

@@ -133,10 +133,13 @@ def test_bgr2gray_f32_exact():
 
 
 def test_lab_forward_exhaustive_census():
-    """Forward Lab vs cv2 5.0 over ALL 2^24 BGR triples: exactly 1671
-    triples differ (cv2's interpolated trilinear-LUT variant vs our integer
-    path), all by 1 LSB, only in a/b — the L channel is fully exact.
-    Pinned exactly so any regression or improvement is visible."""
+    """Forward Lab: bit-exact vs cv2 5.0 over ALL 2^24 BGR triples.
+
+    cv2's 8u path is the classic integer-table path (confirmed by
+    disassembling libopencv_imgproc 4.6, whose output is exhaustively
+    identical to cv2 5.0's); the former 1671-triple residual came from two
+    cbrt-table entries that OpenCV's softfloat f32 build rounds differently
+    from a float64 build — now replicated op-for-op."""
     aa, bb = np.meshgrid(
         np.arange(256, dtype=np.uint8), np.arange(256, dtype=np.uint8),
         indexing="ij",
@@ -153,14 +156,9 @@ def test_lab_forward_exhaustive_census():
             ],
             axis=-1,
         ).reshape(64, -1, 3)
-        ref = cv2.cvtColor(img, cv2.COLOR_BGR2Lab).astype(np.int16)
-        got = np.asarray(cs.bgr_to_lab_u8(img)).astype(np.int16)
-        d = np.abs(ref - got)
-        np.testing.assert_array_equal(got[..., 0], ref[..., 0])  # L exact
-        bad += int((d.max(-1) > 0).sum())
-        worst = max(worst, int(d.max()))
-    assert worst <= 1
-    assert bad == 1671, bad
+        ref = cv2.cvtColor(img, cv2.COLOR_BGR2Lab)
+        got = np.asarray(cs.bgr_to_lab_u8(img))
+        np.testing.assert_array_equal(got, ref)
 
 
 def test_lab_inverse_exhaustive_bit_exact():
