@@ -241,17 +241,28 @@ def remap_bilinear_u8(
         axis=1,
     )  # [H*W, 4K]
 
-    rows = jnp.take(packed, base, axis=0)  # [N, 4K] u8
-    # tap groups as column slices (a [N,4,K] reshape gets a tile-padded
-    # layout); blend in f32, round to u8 before the output transpose so the
-    # transposed temp is 4x smaller
-    acc = (
-        rows[:, 0:k].astype(f32) * weights[0][:, None]
-        + rows[:, k:2 * k].astype(f32) * weights[1][:, None]
-        + rows[:, 2 * k:3 * k].astype(f32) * weights[2][:, None]
-        + rows[:, 3 * k:4 * k].astype(f32) * weights[3][:, None]
-    )
-    out_u8 = round_u8(acc)  # [N, K]
+    # XLA TPU row-gathers degrade superlinearly past ~1M indices (measured:
+    # 2.07M idx -> 17 ns/idx, 1.04M -> 10 ns/idx on v5e), so chunk the
+    # output so every single gather stays at the fast rate; the blend fuses
+    # into each gather's consumer and only the small u8 results concatenate
+    n = int(base.shape[0])
+    n_chunks = max(1, -(-n // 1_100_000))
+    chunk = -(-n // n_chunks)
+    outs = []
+    for s in range(n_chunks):
+        sl = slice(s * chunk, min((s + 1) * chunk, n))
+        rows = jnp.take(packed, base[sl], axis=0)  # [Nc, 4K] u8
+        # tap groups as column slices (a [N,4,K] reshape gets a tile-padded
+        # layout); blend in f32, round to u8 before the output transpose so
+        # the transposed temp is 4x smaller
+        acc = (
+            rows[:, 0:k].astype(f32) * weights[0][sl, None]
+            + rows[:, k:2 * k].astype(f32) * weights[1][sl, None]
+            + rows[:, 2 * k:3 * k].astype(f32) * weights[2][sl, None]
+            + rows[:, 3 * k:4 * k].astype(f32) * weights[3][sl, None]
+        )
+        outs.append(round_u8(acc))
+    out_u8 = outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=0)
 
     out = out_u8.reshape(ho * wo, -1, c)
     out = jnp.moveaxis(out, 1, 0).reshape(lead + (ho, wo, c))
