@@ -91,27 +91,31 @@ def log_chroma_histogram(
 
     h, w = image.shape[-3], image.shape[-2]
     pixel_weight = jnp.float32(1.0 / (h * w))
-    weights = jnp.where(valid, pixel_weight, 0.0)
 
     # TPU formulation: a scatter-add over 2^16 bins runs at scalar index
     # rate (~8 ns/pixel — ~0.8 ms/frame); instead build the joint histogram
     # as an MXU matmul of one-hot factor matrices:
-    #   hist[a, b] = sum_p [u_p == a] * w_p * [v_p == b]
+    #   count[a, b] = sum_p [u_p == a] * valid_p * [v_p == b]
     # XLA fuses the one-hot comparisons into the dot operands, so nothing
-    # [P, 256]-sized is materialized. Each bin's value is (count * weight)
-    # accumulated in a f32 tree-sum — within 1 ulp of the reference's
-    # sequential `+= pixel_weight` loop (ccc.cpp:237-263), which itself is
-    # order-dependent.
+    # [P, 256]-sized is materialized. The factors are exact in bfloat16
+    # (entries are 0/1) and accumulate in f32, so the bf16 MXU path (4x the
+    # f32 rate on v5e — measured 16.6 -> ~4 ms/batch at B=64) yields exact
+    # integer counts; the single final count*pixel_weight rounding is within
+    # ulps of the reference's sequential `+= pixel_weight` loop
+    # (ccc.cpp:237-263), which itself is order-dependent.
     lead = image.shape[:-3]
     u_flat = u.reshape((-1, h * w))
     v_flat = v.reshape((-1, h * w))
-    w_flat = weights.reshape((-1, h * w))
+    valid_flat = valid.reshape((-1, h * w))
     iota = jnp.arange(HIST_N, dtype=jnp.int32)
-    ou = (u_flat[..., None] == iota).astype(jnp.float32)
-    ov = (v_flat[..., None] == iota).astype(jnp.float32) * w_flat[..., None]
-    hist = jnp.einsum(
+    ou = (u_flat[..., None] == iota).astype(jnp.bfloat16)
+    ov = ((v_flat[..., None] == iota) & valid_flat[..., None]).astype(
+        jnp.bfloat16
+    )
+    counts = jnp.einsum(
         "bpu,bpv->buv", ou, ov, preferred_element_type=jnp.float32
     )
+    hist = counts * pixel_weight
     return hist.reshape(lead + (HIST_N, HIST_N))
 
 

@@ -12,9 +12,36 @@ Pure layout transforms over the spatial axes of [..., H, W, C] (or
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# How each Bayer mosaic pattern transforms under the three rotations, i.e.
+# debayer_P(x) then rotate == rotate(x) then debayer_PERM[angle][P] — an
+# exact identity for spatially symmetric demosaic stencils on even-sized
+# frames (verified bit-exact for both the bilinear and MHT algorithms over
+# all pattern x angle combinations in tests/test_debayer.py). The pipeline
+# uses it to flip the 1-channel raw mosaic instead of the 3-channel color
+# image (3x less data to move).
+_BAYER_FLIP_PERM = {
+    90: {"bggr": "gbrg", "gbrg": "rggb", "grbg": "bggr", "rggb": "grbg"},
+    180: {"bggr": "rggb", "gbrg": "grbg", "grbg": "gbrg", "rggb": "bggr"},
+    270: {"bggr": "grbg", "gbrg": "bggr", "grbg": "rggb", "rggb": "gbrg"},
+}
+
+
+def flipped_bayer_encoding(encoding: str, angle: int) -> Optional[str]:
+    """The Bayer encoding that demosaics a rotated mosaic to the rotation of
+    the original demosaic (None when no exact equivalent applies)."""
+    if angle not in _BAYER_FLIP_PERM:
+        return None
+    if not (encoding.startswith("bayer_") and encoding.endswith("8")):
+        return None  # 8-bit patterns only (the verified set)
+    pat = encoding[len("bayer_"):-1]
+    if pat not in _BAYER_FLIP_PERM[angle]:
+        return None
+    return f"bayer_{_BAYER_FLIP_PERM[angle][pat]}8"
 
 
 @partial(jax.jit, static_argnames=("angle", "spatial_axes"))

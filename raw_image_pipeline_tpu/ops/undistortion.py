@@ -231,22 +231,34 @@ def remap_bilinear_u8(
     arr = image.reshape((-1, h * w, c))
     arr = jnp.moveaxis(arr, 0, 1).reshape(h * w, -1)
     k = arr.shape[1]
+    # tap pack as overlapping slices of ONE zero-padded buffer — measured
+    # 3.9 ms vs 20.6 ms for the roll-based concat at [2.07M, 768B] on v5e
+    # (rolls lower to wrap-around copies; pad+slice is a straight strided
+    # copy). Out-of-image taps land in the zero pad and carry zero weight
+    # by construction, same as the rolls' wrapped rows did.
+    arrp = jnp.pad(arr, ((0, w + 1), (0, 0)))
     packed = jnp.concatenate(
         [
-            arr,
-            jnp.roll(arr, -1, axis=0),
-            jnp.roll(arr, -w, axis=0),
-            jnp.roll(arr, -(w + 1), axis=0),
+            arrp[: h * w],
+            arrp[1 : h * w + 1],
+            arrp[w : h * w + w],
+            arrp[w + 1 : h * w + w + 1],
         ],
         axis=1,
     )  # [H*W, 4K]
+    # materialize the pack exactly once: without the barrier XLA re-fuses
+    # the pack construction into each chunk's gather operand and rebuilds
+    # it per chunk (measured as the in-chain gather running at 16 ns/idx
+    # vs 9.3 ns/idx standalone)
+    packed = jax.lax.optimization_barrier(packed)
 
-    # XLA TPU row-gathers degrade superlinearly past ~1M indices (measured:
-    # 2.07M idx -> 17 ns/idx, 1.04M -> 10 ns/idx on v5e), so chunk the
-    # output so every single gather stays at the fast rate; the blend fuses
-    # into each gather's consumer and only the small u8 results concatenate
+    # XLA TPU row-gathers degrade superlinearly with index count (measured
+    # on v5e at 768-byte rows: 2.07M idx -> 16.5 ns/idx, ~520k-idx chunks
+    # -> 9.3 ns/idx), so chunk the output so every single gather stays at
+    # the fast rate; the blend fuses into each gather's consumer and only
+    # the small u8 results concatenate
     n = int(base.shape[0])
-    n_chunks = max(1, -(-n // 1_100_000))
+    n_chunks = max(1, -(-n // 550_000))
     chunk = -(-n // n_chunks)
     outs = []
     for s in range(n_chunks):

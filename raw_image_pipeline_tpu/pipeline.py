@@ -51,6 +51,7 @@ from raw_image_pipeline_tpu.ops.debayer import (
     debayer,
 )
 from raw_image_pipeline_tpu.ops.flip import flip as flip_op
+from raw_image_pipeline_tpu.ops.flip import flipped_bayer_encoding
 from raw_image_pipeline_tpu.ops.gamma import (
     bt709_corrections,
     gamma_apply,
@@ -305,9 +306,33 @@ def make_isp_fn(
         # R<->B swap quirk (debayer.cpp:49-52); only "mht" (GPU parity) does not
         cpu_swap = deb.algorithm != "mht"
 
+        # flip the 1-channel raw mosaic instead of the 3-channel color image
+        # (3x less data; ~10 ms/batch at 1080p B=64 on v5e) wherever the
+        # rotated pattern has an exact demosaic equivalent — a bit-exact
+        # identity on even-sized frames (flip.flipped_bayer_encoding). Debug
+        # mode keeps the reference's stage order so the 00_debayer dump
+        # matches the reference's pre-flip dump point.
+        flip_angle = config.flip.angle if config.flip.enabled else 0
+        hoist_enc = (
+            flipped_bayer_encoding(encoding, flip_angle)
+            if (not debug and encoding in BAYER_ENCODINGS)
+            else None
+        )
+        hoist_flip = (
+            hoist_enc is not None
+            and img.shape[-1] % 2 == 0
+            and img.shape[-2] % 2 == 0
+        )
+
         # 1. debayer — always runs; per-call encoding decides (quirk §8.1)
         with jax.named_scope("isp_debayer"):
-            if encoding in BAYER_ENCODINGS:
+            if hoist_flip:
+                with jax.named_scope("isp_flip"):
+                    img = flip_op(img, flip_angle, spatial_axes=(-2, -1))
+                img = debayer(img, hoist_enc, deb.algorithm)
+                if cpu_swap:
+                    img = img[..., ::-1]
+            elif encoding in BAYER_ENCODINGS:
                 img = debayer(img, encoding, deb.algorithm)
                 if cpu_swap:
                     img = img[..., ::-1]
@@ -328,9 +353,9 @@ def make_isp_fn(
         # stages would crash its cv ops outright, so they are skipped too
         is_color = img.ndim >= 3 and img.shape[-1] == 3
 
-        # 2. flip
+        # 2. flip (already applied pre-debayer when hoist_flip)
         with jax.named_scope("isp_flip"):
-            if config.flip.enabled:
+            if config.flip.enabled and not hoist_flip:
                 img = flip_op(
                     img, config.flip.angle,
                     spatial_axes=(-3, -2) if is_color else (-2, -1),

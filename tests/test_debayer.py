@@ -154,3 +154,35 @@ def test_mht_matches_independent_paper_oracle(phase):
     ours = np.asarray(debayer_mht(raw, phase))
     golden = _mhc_paper_oracle(raw, phase)
     np.testing.assert_array_equal(ours[2:-2, 2:-2], golden[2:-2, 2:-2])
+
+
+@pytest.mark.parametrize("algorithm", ["bilinear", "mht"])
+@pytest.mark.parametrize("angle", [90, 180, 270])
+def test_flip_debayer_commutation(algorithm, angle):
+    """rotate(debayer_P(x)) == debayer_PERM[angle][P](rotate(x)) bit-exactly
+    on even-sized frames — the identity behind the pipeline's flip hoist
+    (ops/flip.flipped_bayer_encoding), which flips the 1-channel mosaic
+    instead of the 3-channel color image."""
+    from raw_image_pipeline_tpu.ops.flip import flip, flipped_bayer_encoding
+
+    rng = np.random.default_rng(angle)
+    x = rng.integers(0, 256, (2, 64, 96), dtype=np.uint8)
+    for enc in sorted(ENCODING_TO_CV_CODE):
+        enc2 = flipped_bayer_encoding(enc, angle)
+        assert enc2 is not None
+        ref = np.asarray(
+            flip(debayer(x, enc, algorithm), angle, spatial_axes=(-3, -2))
+        )
+        got = np.asarray(
+            debayer(flip(x, angle, spatial_axes=(-2, -1)), enc2, algorithm)
+        )
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_flipped_bayer_encoding_guards():
+    from raw_image_pipeline_tpu.ops.flip import flipped_bayer_encoding
+
+    assert flipped_bayer_encoding("bayer_gbrg8", 0) is None
+    assert flipped_bayer_encoding("bgr8", 180) is None
+    assert flipped_bayer_encoding("bayer_gbrg16", 180) is None
+    assert flipped_bayer_encoding("bayer_gbrg8", 180) == "bayer_grbg8"
