@@ -97,20 +97,22 @@ def log_chroma_histogram(
     # as an MXU matmul of one-hot factor matrices:
     #   count[a, b] = sum_p [u_p == a] * valid_p * [v_p == b]
     # XLA fuses the one-hot comparisons into the dot operands, so nothing
-    # [P, 256]-sized is materialized. The factors are exact in bfloat16
-    # (entries are 0/1) and accumulate in f32, so the bf16 MXU path (4x the
-    # f32 rate on v5e — measured 16.6 -> ~4 ms/batch at B=64) yields exact
-    # integer counts; the single final count*pixel_weight rounding is within
-    # ulps of the reference's sequential `+= pixel_weight` loop
-    # (ccc.cpp:237-263), which itself is order-dependent.
+    # [P, 256]-sized is materialized — but ONLY for f32 factors: casting
+    # them to bfloat16 for the faster MXU path makes XLA materialize the
+    # [B, P, 256] one-hots instead and runs 15 ms/batch SLOWER at B=64
+    # (measured on v5e; negative result, see ROADMAP). So the factors stay
+    # f32. Counts accumulate exactly (integers in f32 tree-sums); the single
+    # final count*pixel_weight rounding is within ulps of the reference's
+    # sequential `+= pixel_weight` loop (ccc.cpp:237-263), which itself is
+    # order-dependent.
     lead = image.shape[:-3]
     u_flat = u.reshape((-1, h * w))
     v_flat = v.reshape((-1, h * w))
     valid_flat = valid.reshape((-1, h * w))
     iota = jnp.arange(HIST_N, dtype=jnp.int32)
-    ou = (u_flat[..., None] == iota).astype(jnp.bfloat16)
+    ou = (u_flat[..., None] == iota).astype(jnp.float32)
     ov = ((v_flat[..., None] == iota) & valid_flat[..., None]).astype(
-        jnp.bfloat16
+        jnp.float32
     )
     counts = jnp.einsum(
         "bpu,bpv->buv", ou, ov, preferred_element_type=jnp.float32
