@@ -195,26 +195,32 @@ def remap_precompute(
     return base, weights
 
 
-@partial(jax.jit, static_argnames=("out_hw", "src_hw"))
+@partial(jax.jit, static_argnames=("out_hw", "src_hw", "batch_minor"))
 def remap_bilinear_u8(
     image: jax.Array, base: jax.Array, weights: jax.Array,
     out_hw: Tuple[int, int],
     src_hw: Tuple[int, int] | None = None,
+    batch_minor: bool = False,
 ) -> jax.Array:
     """cv::remap(INTER_LINEAR, BORDER_CONSTANT, 0) with precomputed
     (base, weights) from remap_precompute.
 
-    image: [..., H, W, C] uint8 -> [..., Ho, Wo, C] uint8.
+    image: [..., H, W, C] uint8 -> [..., Ho, Wo, C] uint8, or with
+    batch_minor=True [H, W, ..., C] -> [Ho, Wo, ..., C] (the pipeline's
+    internal layout: spatial-major means the flatten below needs no
+    transposes at all).
 
     TPU formulation: XLA's gather is index-rate-bound (~8 ns per index, no
     matter how many bytes each index fetches), so the kernel spends ONE
     index per output pixel: the image is flattened to [H*W, batch*C] and
-    the four bilinear taps pre-packed into one wide row by concatenating
-    rolled copies — a single row-gather fetches all taps for every frame
-    and channel at once, and per-frame gather cost scales as 1/batch.
-    Wrapped taps from the rolls carry zero weight by construction.
+    the four bilinear taps pre-packed into one wide row — a single
+    row-gather fetches all taps for every frame and channel at once, and
+    per-frame gather cost scales as 1/batch.
     """
-    h, w = image.shape[-3], image.shape[-2]
+    if batch_minor:
+        h, w = image.shape[0], image.shape[1]
+    else:
+        h, w = image.shape[-3], image.shape[-2]
     if src_hw is not None and (h, w) != tuple(src_hw):
         # base/weights are precomputed against a specific source size; a
         # different frame would flatten with the wrong row stride and
@@ -224,12 +230,16 @@ def remap_bilinear_u8(
             f"({h}, {w}); rebuild the pipeline for this frame size"
         )
     c = image.shape[-1]
-    lead = image.shape[:-3]
     ho, wo = out_hw
     f32 = jnp.float32
 
-    arr = image.reshape((-1, h * w, c))
-    arr = jnp.moveaxis(arr, 0, 1).reshape(h * w, -1)
+    if batch_minor:
+        lead = image.shape[2:-1]
+        arr = image.reshape(h * w, -1)
+    else:
+        lead = image.shape[:-3]
+        arr = image.reshape((-1, h * w, c))
+        arr = jnp.moveaxis(arr, 0, 1).reshape(h * w, -1)
     k = arr.shape[1]
     # tap pack as overlapping slices of ONE zero-padded buffer — measured
     # 3.9 ms vs 20.6 ms for the roll-based concat at [2.07M, 768B] on v5e
@@ -276,6 +286,8 @@ def remap_bilinear_u8(
         outs.append(round_u8(acc))
     out_u8 = outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=0)
 
+    if batch_minor:
+        return out_u8.reshape((ho, wo) + lead + (c,))
     out = out_u8.reshape(ho * wo, -1, c)
     out = jnp.moveaxis(out, 1, 0).reshape(lead + (ho, wo, c))
     return out

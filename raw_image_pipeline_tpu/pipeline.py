@@ -403,6 +403,18 @@ def make_isp_fn(
                     )
         dump("02_white_balancing", img)
 
+        # Internal batch-minor layout [H, W, B, C] for the remainder of the
+        # chain whenever the remap will run: the pointwise stages are
+        # layout-invariant in cost (measured), but remap flattens to
+        # [H*W, B*C] — spatial-major means that flatten is free instead of
+        # two 0.4 GB/batch layout moves around the gather. Not engaged in
+        # debug mode (the reference's dump layout is kept 1:1 there).
+        batch_minor = (
+            run_undist and is_color and img.ndim == 4 and not debug
+        )
+        if batch_minor:
+            img = jnp.transpose(img, (1, 2, 0, 3))
+
         # 4. color calibration (3-channel only, like WB — the reference's
         # cv ops would fail outright on mono)
         with jax.named_scope("isp_color_calibration"):
@@ -429,7 +441,10 @@ def make_isp_fn(
         # 6. vignetting (Lab roundtrip — 3-channel only)
         with jax.named_scope("isp_vignetting"):
             if config.vignetting_correction.enabled and is_color:
-                img = vignetting_correct(img, params.vignetting_mask)
+                mask = params.vignetting_mask
+                if batch_minor:
+                    mask = mask[:, :, None]  # broadcast [H,W,1] over [H,W,B]
+                img = vignetting_correct(img, mask)
         dump("05_vignetting_correction", img)
 
         # 7. color enhancer (HSV roundtrip — 3-channel only)
@@ -441,11 +456,19 @@ def make_isp_fn(
         # 8. undistortion — the pre-undistort snapshot is taken whether or
         # not the remap runs (undistortion.hpp:66-78)
         if keep_intermediates:
-            outputs["dist_color"] = img
+            outputs["dist_color"] = (
+                jnp.transpose(img, (2, 0, 1, 3)) if batch_minor else img
+            )
         with jax.named_scope("isp_undistortion"):
             if run_undist:
                 out_hw = (calib.image_height, calib.image_width)
-                if is_color:
+                if batch_minor:
+                    img = remap_bilinear_u8(
+                        img, params.remap_base, params.remap_weights, out_hw,
+                        remap_src_hw, batch_minor=True,
+                    )
+                    img = jnp.transpose(img, (2, 0, 1, 3))
+                elif is_color:
                     img = remap_bilinear_u8(
                         img, params.remap_base, params.remap_weights, out_hw,
                         remap_src_hw,
