@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from raw_image_pipeline_tpu.ops.common import descale, fma_f32
-from raw_image_pipeline_tpu.ops.lut import CorrectedTable
+from raw_image_pipeline_tpu.ops.lut import CorrectedTable, fit_branch_poly, poly_eval
 
 # ---------------------------------------------------------------------------
 # HSV (hsv_shift = 12, matching OpenCV's RGB2HSV_b)
@@ -235,18 +235,36 @@ def _build_lab_tables():
 _GAMMA_TAB, _CBRT_TAB, _LAB_COEF = _build_lab_tables()
 
 
+# The pow/cbrt branches of the table formulas are served by low-degree
+# polynomials in sqrt-index space (2 VPU ops per degree vs ~30 for each
+# transcendental); fit on host at import against the unrounded f64 curve,
+# with per-backend corrections (CorrectedTable) still guaranteeing the
+# bit-exact table values. See ops/lut.fit_branch_poly.
+_lab_gamma_i = np.arange(256, dtype=np.float64)
+_sel = _lab_gamma_i / 255.0 > 0.04045
+_LAB_GAMMA_POLY = fit_branch_poly(
+    256, _lab_gamma_i[_sel],
+    2040.0 * ((_lab_gamma_i[_sel] / 255.0 + 0.055) / 1.055) ** 2.4,
+)
+
+del _lab_gamma_i, _sel
+
+
 def _lab_gamma_formula(i):
     f32 = jnp.float32
     x = i.astype(f32) * f32(1.0 / 255.0)
-    lin = jnp.where(
+    scaled = jnp.where(
         x <= 0.04045,
-        x * f32(1.0 / 12.92),
-        jnp.power((x + f32(0.055)) * f32(1.0 / 1.055), f32(2.4)),
+        f32(2040.0 / 12.92) * x,
+        poly_eval(i, *_LAB_GAMMA_POLY, 256),
     )
-    return jnp.rint(f32(255 * (1 << _GAMMA_SHIFT)) * lin).astype(jnp.int32)
+    return jnp.rint(scaled).astype(jnp.int32)
 
 
 def _cbrt_formula(i):
+    # a degree-17 sqrt-domain poly fits this table too, but measures SLOWER
+    # in the fused vignetting composite than XLA's native cbrt (negative
+    # result, v5e) — the transcendental stays
     f32 = jnp.float32
     x = i.astype(f32) * f32(1.0 / (255 * (1 << _GAMMA_SHIFT)))
     f = jnp.where(
@@ -374,6 +392,8 @@ def _lab2_inv_gamma_table():
 
 
 def _lab2_inv_gamma_formula(i):
+    # degree-10 poly also fits; measured slower than the native pow in the
+    # fused Lab->BGR composite on v5e (negative result) — pow stays
     f32 = jnp.float32
     x = i.astype(f32) * f32(1.0 / 4096.0)
     g = jnp.where(

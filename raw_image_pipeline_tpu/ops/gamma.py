@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from raw_image_pipeline_tpu.ops.lut import derive_corrections
+from raw_image_pipeline_tpu.ops.lut import (
+    derive_corrections,
+    fit_branch_poly,
+    poly_eval,
+)
 
 
 def build_gamma_lut(k: float) -> np.ndarray:
@@ -58,6 +62,57 @@ def gamma_correct(image: jax.Array, k: float) -> jax.Array:
     return gamma_apply(image, jnp.float32(k), jnp.asarray(idx), jnp.asarray(val))
 
 
+# --- polynomial-served LUT (the pipeline's fast path) -----------------------
+# pow costs ~30 VPU ops per pixel; for every practical k the 256-entry curve
+# fits a degree<=7 polynomial in sqrt(i/255) space whose f32 Horner is ~16
+# ops, with residual rounding differences patched by the same correction
+# machinery. Coefficients are runtime parameters (front-padded to a fixed
+# length), so changing k still never recompiles.
+
+GAMMA_POLY_LEN = 8  # highest-degree-first, zeros-padded at the front
+
+
+def gamma_poly_coeffs(k: float):
+    """[GAMMA_POLY_LEN] f32 Horner coefficients for 255*(i/255)^k in
+    t = 2*sqrt(i/255)-1 space, or None if no degree<=7 fit is close enough
+    (then the pow formula path is used instead)."""
+    i = np.arange(256, dtype=np.float64)
+    fit = fit_branch_poly(
+        256, i, 255.0 * np.power(i / 255.0, float(k)),
+        budget=16, degrees=range(4, GAMMA_POLY_LEN),
+    )
+    if fit is None:
+        return None
+    co, _lo, _hi = fit
+    return np.concatenate(
+        [np.zeros(GAMMA_POLY_LEN - len(co), np.float32), co]
+    ).astype(np.float32)
+
+
+def _gamma_poly_formula(x, coeffs):
+    y = poly_eval(x, coeffs, 0.0, 1.0, 256)
+    return jnp.clip(jnp.rint(y), 0, 255).astype(jnp.uint8)
+
+
+def gamma_corrections_poly(k: float, coeffs: np.ndarray):
+    """(corr_idx, corr_val) patching the device poly formula to the exact
+    reference LUT, derived on the current backend."""
+    cj = jnp.asarray(coeffs)
+    return derive_corrections(
+        lambda x: _gamma_poly_formula(x, cj), build_gamma_lut(k)
+    )
+
+
+def gamma_apply_poly(image: jax.Array, coeffs: jax.Array,
+                     corr_idx: jax.Array, corr_val: jax.Array) -> jax.Array:
+    """Exact LUT application via the poly formula + corrections."""
+    x = image.astype(jnp.int32)
+    y = _gamma_poly_formula(x, coeffs)
+    for j in range(corr_idx.shape[0]):
+        y = jnp.where(x == corr_idx[j], corr_val[j], y)
+    return y
+
+
 # ---------------------------------------------------------------------------
 # GPU-backend "default" gamma: the reference's cv::cuda::gammaCorrection is
 # NPP's nppiGammaFwd/Inv_8u_C3IR — a FIXED ITU-R BT.709 transfer curve that
@@ -79,22 +134,38 @@ def build_bt709_lut(forward: bool) -> np.ndarray:
     return np.clip(np.rint(y * 255.0), 0, 255).astype(np.uint8)
 
 
+# pow branches served by import-time polynomial fits (see gamma_poly_coeffs
+# above for the rationale; corrections still pin the exact table values)
+_bt_i = np.arange(256, dtype=np.float64)
+_bt_sel_f = _bt_i / 255.0 >= 0.018
+_BT709_FWD_POLY = fit_branch_poly(
+    256, _bt_i[_bt_sel_f],
+    255.0 * (1.099 * np.power(_bt_i[_bt_sel_f] / 255.0, 0.45) - 0.099),
+)
+_bt_sel_i = _bt_i / 255.0 >= 0.081
+_BT709_INV_POLY = fit_branch_poly(
+    256, _bt_i[_bt_sel_i],
+    255.0 * np.power((_bt_i[_bt_sel_i] / 255.0 + 0.099) / 1.099, 1.0 / 0.45),
+)
+del _bt_i, _bt_sel_f, _bt_sel_i
+
+
 def _bt709_formula(x, forward: bool):
     f32 = jnp.float32
     xf = x.astype(f32) * f32(1.0 / 255.0)
     if forward:
         y = jnp.where(
             xf < f32(0.018),
-            xf * f32(4.5),
-            f32(1.099) * jnp.power(jnp.maximum(xf, f32(1e-9)), f32(0.45)) - f32(0.099),
+            xf * f32(4.5 * 255.0),
+            poly_eval(x, *_BT709_FWD_POLY, 256),
         )
     else:
         y = jnp.where(
             xf < f32(0.081),
-            xf * f32(1.0 / 4.5),
-            jnp.power((xf + f32(0.099)) * f32(1.0 / 1.099), f32(1.0 / 0.45)),
+            xf * f32(255.0 / 4.5),
+            poly_eval(x, *_BT709_INV_POLY, 256),
         )
-    return jnp.clip(jnp.rint(y * f32(255.0)), 0, 255).astype(jnp.uint8)
+    return jnp.clip(jnp.rint(y), 0, 255).astype(jnp.uint8)
 
 
 def bt709_corrections(forward: bool):

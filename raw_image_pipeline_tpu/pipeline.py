@@ -40,6 +40,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from raw_image_pipeline_tpu.config import PipelineConfig
 from raw_image_pipeline_tpu.models.ccc_model import CCCModel, load_ccc_model
@@ -53,10 +54,14 @@ from raw_image_pipeline_tpu.ops.debayer import (
 from raw_image_pipeline_tpu.ops.flip import flip as flip_op
 from raw_image_pipeline_tpu.ops.flip import flipped_bayer_encoding
 from raw_image_pipeline_tpu.ops.gamma import (
+    GAMMA_POLY_LEN,
     bt709_corrections,
     gamma_apply,
     gamma_apply_bt709,
+    gamma_apply_poly,
     gamma_corrections,
+    gamma_corrections_poly,
+    gamma_poly_coeffs,
 )
 from raw_image_pipeline_tpu.ops.undistortion import (
     estimate_new_camera_matrix,
@@ -86,7 +91,8 @@ class IspParams:
 
     color_matrix: jax.Array  # [3,3] f32
     color_bias: jax.Array  # [3] f32
-    gamma_k: jax.Array  # scalar f32
+    gamma_k: jax.Array  # scalar f32 (pow fallback path)
+    gamma_poly: jax.Array  # [GAMMA_POLY_LEN] f32 Horner coeffs (or zeros)
     gamma_corr_idx: jax.Array  # [MAX_CORR] i32 formula patch indices
     gamma_corr_val: jax.Array  # [MAX_CORR] u8 patch values
     enhancer_gains: jax.Array  # [3] f32 (H,S,V)
@@ -213,18 +219,25 @@ def make_params(
         filt_re = filt_im = ccc_bias = zero
 
     gc = config.gamma_correction
+    gamma_poly = np.zeros(GAMMA_POLY_LEN, np.float32)
     if gc.gpu and gc.method == "default":
         # reference GPU backend: fixed BT.709 curve, direction from k
         # (quirk §8.15; gamma_correction.cpp:29-33, 66-74)
         gamma_idx, gamma_val = bt709_corrections(gc.k <= 1.0)
     else:
-        gamma_idx, gamma_val = gamma_corrections(gc.k)
+        co = gamma_poly_coeffs(gc.k)
+        if co is not None:  # poly-served LUT (the fast path; see ops/gamma)
+            gamma_poly = co
+            gamma_idx, gamma_val = gamma_corrections_poly(gc.k, co)
+        else:
+            gamma_idx, gamma_val = gamma_corrections(gc.k)
 
     ce = config.color_enhancer
     return IspParams(
         color_matrix=jnp.asarray(config.color_calibration.matrix_np(), jnp.float32).reshape(3, 3),
         color_bias=jnp.asarray(config.color_calibration.bias_np(), jnp.float32),
         gamma_k=jnp.float32(config.gamma_correction.k),
+        gamma_poly=jnp.asarray(gamma_poly),
         gamma_corr_idx=jnp.asarray(gamma_idx),
         gamma_corr_val=jnp.asarray(gamma_val),
         enhancer_gains=jnp.asarray(
@@ -429,6 +442,11 @@ def make_isp_fn(
                 if gc.gpu and gc.method == "default":
                     img = gamma_apply_bt709(
                         img, gc.k <= 1.0,
+                        params.gamma_corr_idx, params.gamma_corr_val,
+                    )
+                elif gamma_poly_coeffs(gc.k) is not None:
+                    img = gamma_apply_poly(
+                        img, params.gamma_poly,
                         params.gamma_corr_idx, params.gamma_corr_val,
                     )
                 else:
