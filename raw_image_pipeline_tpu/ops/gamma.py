@@ -73,41 +73,45 @@ GAMMA_POLY_LEN = 8  # highest-degree-first, zeros-padded at the front
 
 
 def gamma_poly_coeffs(k: float):
-    """[GAMMA_POLY_LEN] f32 Horner coefficients for 255*(i/255)^k in
-    t = 2*sqrt(i/255)-1 space, or None if no degree<=7 fit is close enough
-    (then the pow formula path is used instead)."""
+    """([GAMMA_POLY_LEN] f32 Horner coefficients, root) for 255*(i/255)^k
+    in t = 2*(i/255)^(1/root)-1 space, or None if no degree<=7 fit is close
+    enough in either domain (then the pow formula path is used instead).
+    The sqrt domain covers k >= ~0.5; the cbrt domain covers small k."""
     i = np.arange(256, dtype=np.float64)
-    fit = fit_branch_poly(
-        256, i, 255.0 * np.power(i / 255.0, float(k)),
-        budget=16, degrees=range(4, GAMMA_POLY_LEN),
-    )
-    if fit is None:
-        return None
-    co, _lo, _hi = fit
-    return np.concatenate(
-        [np.zeros(GAMMA_POLY_LEN - len(co), np.float32), co]
-    ).astype(np.float32)
+    target = 255.0 * np.power(i / 255.0, float(k))
+    for root in (2, 3):
+        fit = fit_branch_poly(
+            256, i, target,
+            budget=16, degrees=range(4, GAMMA_POLY_LEN), root=root,
+        )
+        if fit is not None:
+            co, _lo, _hi = fit
+            return np.concatenate(
+                [np.zeros(GAMMA_POLY_LEN - len(co), np.float32), co]
+            ).astype(np.float32), root
+    return None
 
 
-def _gamma_poly_formula(x, coeffs):
-    y = poly_eval(x, coeffs, 0.0, 1.0, 256)
+def _gamma_poly_formula(x, coeffs, root):
+    y = poly_eval(x, coeffs, 0.0, 1.0, 256, root=root)
     return jnp.clip(jnp.rint(y), 0, 255).astype(jnp.uint8)
 
 
-def gamma_corrections_poly(k: float, coeffs: np.ndarray):
+def gamma_corrections_poly(k: float, coeffs: np.ndarray, root: int):
     """(corr_idx, corr_val) patching the device poly formula to the exact
     reference LUT, derived on the current backend."""
     cj = jnp.asarray(coeffs)
     return derive_corrections(
-        lambda x: _gamma_poly_formula(x, cj), build_gamma_lut(k)
+        lambda x: _gamma_poly_formula(x, cj, root), build_gamma_lut(k)
     )
 
 
 def gamma_apply_poly(image: jax.Array, coeffs: jax.Array,
-                     corr_idx: jax.Array, corr_val: jax.Array) -> jax.Array:
+                     corr_idx: jax.Array, corr_val: jax.Array,
+                     root: int = 2) -> jax.Array:
     """Exact LUT application via the poly formula + corrections."""
     x = image.astype(jnp.int32)
-    y = _gamma_poly_formula(x, coeffs)
+    y = _gamma_poly_formula(x, coeffs, root)
     for j in range(corr_idx.shape[0]):
         y = jnp.where(x == corr_idx[j], corr_val[j], y)
     return y

@@ -225,10 +225,10 @@ def make_params(
         # (quirk §8.15; gamma_correction.cpp:29-33, 66-74)
         gamma_idx, gamma_val = bt709_corrections(gc.k <= 1.0)
     else:
-        co = gamma_poly_coeffs(gc.k)
-        if co is not None:  # poly-served LUT (the fast path; see ops/gamma)
-            gamma_poly = co
-            gamma_idx, gamma_val = gamma_corrections_poly(gc.k, co)
+        fit = gamma_poly_coeffs(gc.k)
+        if fit is not None:  # poly-served LUT (the fast path; see ops/gamma)
+            gamma_poly, root = fit
+            gamma_idx, gamma_val = gamma_corrections_poly(gc.k, gamma_poly, root)
         else:
             gamma_idx, gamma_val = gamma_corrections(gc.k)
 
@@ -292,6 +292,14 @@ def make_isp_fn(
         config.undistortion.enabled
         and calib.calibration_available
         and calib.distortion_model != "none"
+    )
+    # static gamma plan: poly-served LUT when a fit exists (same host fit
+    # make_params runs; deterministic, so fn and params always agree)
+    gcfg = config.gamma_correction
+    gamma_poly_fit = (
+        gamma_poly_coeffs(gcfg.k)
+        if gcfg.enabled and not (gcfg.gpu and gcfg.method == "default")
+        else None
     )
 
     def fn(params: IspParams, pixels: jax.Array, state: Optional[IspState]):
@@ -444,10 +452,11 @@ def make_isp_fn(
                         img, gc.k <= 1.0,
                         params.gamma_corr_idx, params.gamma_corr_val,
                     )
-                elif gamma_poly_coeffs(gc.k) is not None:
+                elif gamma_poly_fit is not None:
                     img = gamma_apply_poly(
                         img, params.gamma_poly,
                         params.gamma_corr_idx, params.gamma_corr_val,
+                        root=gamma_poly_fit[1],
                     )
                 else:
                     img = gamma_apply(

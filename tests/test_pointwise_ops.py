@@ -2,6 +2,7 @@
 color enhancer, vignetting, and statistical white balance."""
 
 import cv2
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -64,6 +65,31 @@ def test_gamma_lut_matches_cv2(k):
     ref = cv2.LUT(img, ours)
     out = np.asarray(gamma_correct(img, k))
     np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("k", [0.3, 0.5, 0.8, 0.9, 1.0, 1.2, 1.8, 2.4, 3.0])
+def test_gamma_poly_path_exact(k):
+    """The pipeline's poly-served gamma (fit_branch_poly + corrections) must
+    reproduce the exact reference LUT for every practical k; fit failure
+    (falling back to pow) is only tolerated, not expected."""
+    from raw_image_pipeline_tpu.ops.gamma import (
+        gamma_apply_poly,
+        gamma_corrections_poly,
+        gamma_poly_coeffs,
+    )
+
+    fit = gamma_poly_coeffs(k)
+    assert fit is not None, f"poly fit failed for k={k}"
+    co, root = fit
+    idx, val = gamma_corrections_poly(k, co, root)
+    n_corr = int((np.asarray(idx) >= 0).sum())
+    assert n_corr <= 24, f"k={k}: {n_corr} corrections (select chain too deep)"
+    full = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    out = np.asarray(
+        gamma_apply_poly(jnp.asarray(full), jnp.asarray(co),
+                         jnp.asarray(idx), jnp.asarray(val), root=root)
+    )
+    np.testing.assert_array_equal(out, build_gamma_lut(k).reshape(16, 16))
 
 
 # ---------------------------------------------------------------- color calibration
