@@ -48,15 +48,20 @@ def resize_linear_u8(image: jax.Array, dst_h: int, dst_w: int) -> jax.Array:
     sx, a0, a1 = _tables(src_w, dst_w)
     sy, b0, b1 = _tables(src_h, dst_h)
 
-    t = image.astype(jnp.int32)
-    # horizontal pass: scale 2^11
-    h = (
-        jnp.take(t, jnp.asarray(sx), axis=-2) * jnp.asarray(a0)[:, None]
-        + jnp.take(t, jnp.asarray(sx + 1), axis=-2) * jnp.asarray(a1)[:, None]
-    )
-    # vertical pass: scale 2^22, descale with rounding
+    # vertical pass first: both passes are exact int32 arithmetic with no
+    # intermediate descale, so the sum order commutes bit-identically with
+    # OpenCV's horizontal-then-vertical — and downsampling rows first means
+    # the second pass touches dst_h/src_h as much data. Gathers fetch u8
+    # rows and widen after.
     v = (
-        jnp.take(h, jnp.asarray(sy), axis=-3) * jnp.asarray(b0)[:, None, None]
-        + jnp.take(h, jnp.asarray(sy + 1), axis=-3) * jnp.asarray(b1)[:, None, None]
+        jnp.take(image, jnp.asarray(sy), axis=-3).astype(jnp.int32)
+        * jnp.asarray(b0)[:, None, None]
+        + jnp.take(image, jnp.asarray(sy + 1), axis=-3).astype(jnp.int32)
+        * jnp.asarray(b1)[:, None, None]
     )
-    return jnp.clip((v + (1 << 21)) >> 22, 0, 255).astype(jnp.uint8)
+    # horizontal pass: total scale 2^22, descale with rounding
+    h = (
+        jnp.take(v, jnp.asarray(sx), axis=-2) * jnp.asarray(a0)[:, None]
+        + jnp.take(v, jnp.asarray(sx + 1), axis=-2) * jnp.asarray(a1)[:, None]
+    )
+    return jnp.clip((h + (1 << 21)) >> 22, 0, 255).astype(jnp.uint8)

@@ -292,3 +292,27 @@ def test_remap_rejects_mismatched_frame_size():
     wrong = np.zeros((1, 1080, 1440), np.uint8)
     with _pytest.raises(ValueError, match="remap precomputed for source"):
         pipe(wrong)
+
+
+@pytest.mark.parametrize("angle", [90, 180, 270])
+def test_fast_path_equals_reference_order(bayer_frame, angle):
+    """The non-debug fast path (flip hoisted onto the raw mosaic +
+    batch-minor internal layout around the remap) must be bit-identical to
+    the debug path, which keeps the reference's stage order and layout."""
+    cfg = PipelineConfig(
+        flip=dataclasses.replace(PipelineConfig().flip, enabled=True, angle=angle),
+        vignetting_correction=dataclasses.replace(
+            PipelineConfig().vignetting_correction,
+            enabled=True, scale=1.2, a2=1e-3, a4=1e-6,
+        ),
+        calibration=load_camera_calibration(DEFAULT_CALIBRATION_PATH),
+    )
+    h, w = bayer_frame.shape
+    fast = build_pipeline(cfg, "bayer_gbrg8", frame_hw=(h, w))
+    ref = build_pipeline(cfg, "bayer_gbrg8", frame_hw=(h, w), debug=True)
+    batch = np.stack([bayer_frame, bayer_frame[::-1, ::-1].copy()])
+    of, _ = fast(batch)
+    orf, _ = ref(batch)
+    np.testing.assert_array_equal(
+        np.asarray(of["processed"]), np.asarray(orf["processed"])
+    )
