@@ -18,6 +18,26 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def device_noise(shape, seed, dtype=None):
+    """Pseudorandom u8 test frames generated ON the device. Over the axon
+    tunnel a host->device transfer runs at ~8 MB/s, so device_put of a
+    multi-GB batch dominates the bench wall time; on-device PRNG makes the
+    data cost seconds instead of minutes."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.uint8
+    fn = jax.jit(
+        lambda: jax.random.randint(
+            jax.random.PRNGKey(seed), shape, 0, 256, jnp.int32
+        ).astype(dtype),
+        static_argnums=(),
+    )
+    out = fn()
+    out.block_until_ready()
+    return out
+
+
 def _timed_fetch(step, *args, repeats=5):
     """Min wall time of dispatch+checksum-fetch (the only honest sync on
     axon, where block_until_ready returns early)."""
@@ -52,12 +72,8 @@ def tpu_fps(h=1080, w=1920, b_small=16, b_big=64):
     config = ge._full_config((h, w))
     pipe = build_pipeline(config, "bayer_gbrg8", frame_hw=(h, w))
 
-    rng = np.random.default_rng(0)
     params = jax.device_put(pipe.params)
-    pix = {
-        b: jax.device_put(rng.integers(0, 256, (b, h, w), np.uint8))
-        for b in (b_small, b_big)
-    }
+    pix = {b: device_noise((b, h, w), b) for b in (b_small, b_big)}
 
     # params as explicit jit args (closure device-constants are fetched to
     # host at lowering, unsupported for complex64 on axon)
@@ -90,8 +106,11 @@ def config_benchmarks(h=1080, w=1920):
     from raw_image_pipeline_tpu.config import PipelineConfig
     from raw_image_pipeline_tpu.pipeline import build_pipeline, init_state
 
-    rng = np.random.default_rng(1)
     results = {}
+
+    def record(key, val):
+        results[key] = val
+        log(f"  {key}: {val}")
 
     def chain_step(pipe, params, with_state=False):
         if with_state:
@@ -116,18 +135,18 @@ def config_benchmarks(h=1080, w=1920):
     )
     pipe1 = build_pipeline(cfg1, "bayer_gbrg8", frame_hw=(h, w))
     p1 = jax.device_put(pipe1.params)
-    one = jax.device_put(rng.integers(0, 256, (1, h, w), np.uint8))
+    one = device_noise((1, h, w), 11)
     step1 = chain_step(pipe1, p1)
     np.asarray(step1(p1, one))
     lat = _timed_fetch(lambda: step1(p1, one), repeats=7)
-    b1s = jax.device_put(rng.integers(0, 256, (16, h, w), np.uint8))
-    b1b = jax.device_put(rng.integers(0, 256, (64, h, w), np.uint8))
+    b1s = device_noise((16, h, w), 12)
+    b1b = device_noise((64, h, w), 13)
     dt1, _, _ = _marginal_per_frame(lambda px: step1(p1, px), b1s, b1b)
-    results["config1_debayer_gamma"] = {
+    record("config1_debayer_gamma", {
         "single_frame_dispatch_ms": round(lat * 1e3, 2),
         "per_frame_compute_ms": round(dt1 * 1e3, 4),
         "frames_per_s": round(1 / dt1, 1),
-    }
+    })
 
     # --- config 2: debayer + flip + grey_world WB, batch 64 ---------------
     cfg2 = PipelineConfig(
@@ -140,13 +159,13 @@ def config_benchmarks(h=1080, w=1920):
     pipe2 = build_pipeline(cfg2, "bayer_gbrg8", frame_hw=(h, w))
     p2 = jax.device_put(pipe2.params)
     step2 = chain_step(pipe2, p2)
-    b2s = jax.device_put(rng.integers(0, 256, (16, h, w), np.uint8))
-    b2b = jax.device_put(rng.integers(0, 256, (64, h, w), np.uint8))
+    b2s = device_noise((16, h, w), 21)
+    b2b = device_noise((64, h, w), 22)
     dt2, _, _ = _marginal_per_frame(lambda px: step2(p2, px), b2s, b2b)
-    results["config2_debayer_flip_greyworld_b64"] = {
+    record("config2_debayer_flip_greyworld_b64", {
         "per_frame_compute_ms": round(dt2 * 1e3, 4),
         "frames_per_s": round(1 / dt2, 1),
-    }
+    })
 
     # --- config 3: full chain + CCC + Kalman temporal consistency ---------
     cfg3 = full.replace(
@@ -160,18 +179,18 @@ def config_benchmarks(h=1080, w=1920):
     p3 = jax.device_put(pipe3.params)
     step3 = chain_step(pipe3, p3, with_state=True)
     st = init_state(())
-    b3s = jax.device_put(rng.integers(0, 256, (16, h, w), np.uint8))
-    b3b = jax.device_put(rng.integers(0, 256, (64, h, w), np.uint8))
+    b3s = device_noise((16, h, w), 31)
+    b3b = device_noise((64, h, w), 32)
 
     def run3(px):
         s, _ = step3(p3, px, st)
         return s
 
     dt3, _, _ = _marginal_per_frame(run3, b3s, b3b)
-    results["config3_streamed_ccc_kalman"] = {
+    record("config3_streamed_ccc_kalman", {
         "per_frame_compute_ms": round(dt3 * 1e3, 4),
         "frames_per_s": round(1 / dt3, 1),
-    }
+    })
 
     # --- config 4: colorcal + vignetting + HSV enhancement, batch 512 -----
     cfg4 = PipelineConfig(
@@ -193,13 +212,13 @@ def config_benchmarks(h=1080, w=1920):
     # it fits and the report names the batch actually used
     for b4 in (512, 256, 128):
         try:
-            b4s = jax.device_put(rng.integers(0, 256, (b4 // 4, h, w, 3), np.uint8))
-            b4b = jax.device_put(rng.integers(0, 256, (b4, h, w, 3), np.uint8))
+            b4s = device_noise((b4 // 4, h, w, 3), 41)
+            b4b = device_noise((b4, h, w, 3), 42)
             dt4, _, _ = _marginal_per_frame(lambda px: step4(p4, px), b4s, b4b, repeats=3)
-            results[f"config4_pointwise_b{b4}"] = {
+            record(f"config4_pointwise_b{b4}", {
                 "per_frame_compute_ms": round(dt4 * 1e3, 4),
                 "frames_per_s": round(1 / dt4, 1),
-            }
+            })
             break
         except Exception as e:  # OOM at the big batch — halve and retry
             log(f"config4 batch {b4} failed ({type(e).__name__}); retrying smaller")
@@ -220,17 +239,17 @@ def config_benchmarks(h=1080, w=1920):
             out, _ = mc.fn(p, px, None)
             return jnp.sum(out["processed"], dtype=jnp.int32)
 
-        c5s = jax.device_put(rng.integers(0, 256, (4, 4, h, w), np.uint8))
-        c5b = jax.device_put(rng.integers(0, 256, (4, 24, h, w), np.uint8))
+        c5s = device_noise((4, 4, h, w), 51)
+        c5b = device_noise((4, 24, h, w), 52)
         step5(pmc, c5s), step5(pmc, c5b)
         np.asarray(step5(pmc, c5s))
         t_s = _timed_fetch(lambda: step5(pmc, c5s), repeats=5)
         t_b = _timed_fetch(lambda: step5(pmc, c5b), repeats=5)
         dt5 = (t_b - t_s) / (4 * 24 - 4 * 4)
-        results["config5_multicamera_4x"] = {
+        record("config5_multicamera_4x", {
             "per_frame_compute_ms": round(dt5 * 1e3, 4),
             "frames_per_s": round(1 / dt5, 1),
-        }
+        })
     except Exception as e:
         log(f"config5 multicamera skipped: {e}")
 
@@ -246,8 +265,7 @@ def pallas_debayer_check(h=1024, w=1920):
 
     from raw_image_pipeline_tpu.ops.debayer import debayer
 
-    rng = np.random.default_rng(2)
-    bay = jax.device_put(rng.integers(0, 256, (2, h, w), np.uint8))
+    bay = device_noise((2, h, w), 61)
 
     @jax.jit
     def diff(px):
