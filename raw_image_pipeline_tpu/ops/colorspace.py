@@ -253,11 +253,11 @@ del _lab_gamma_i, _sel
 def _lab_gamma_formula(i):
     f32 = jnp.float32
     x = i.astype(f32) * f32(1.0 / 255.0)
-    scaled = jnp.where(
-        x <= 0.04045,
-        f32(2040.0 / 12.92) * x,
-        poly_eval(i, *_LAB_GAMMA_POLY, 256),
-    )
+    if _LAB_GAMMA_POLY is not None:
+        hi = poly_eval(i, *_LAB_GAMMA_POLY, 256)
+    else:  # fit failed on this host's BLAS — fall back to the transcendental
+        hi = f32(2040.0) * jnp.power((x + f32(0.055)) * f32(1.0 / 1.055), f32(2.4))
+    scaled = jnp.where(x <= 0.04045, f32(2040.0 / 12.92) * x, hi)
     return jnp.rint(scaled).astype(jnp.int32)
 
 

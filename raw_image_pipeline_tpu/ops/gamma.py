@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from raw_image_pipeline_tpu.ops.lut import (
+    apply_corrected,
     derive_corrections,
     fit_branch_poly,
     poly_eval,
@@ -50,10 +51,7 @@ def gamma_corrections(k: float):
 def gamma_apply(image: jax.Array, k: jax.Array, corr_idx: jax.Array, corr_val: jax.Array) -> jax.Array:
     """Exact LUT application: formula + corrections (all runtime args)."""
     x = image.astype(jnp.int32)
-    y = _gamma_formula(x, k)
-    for j in range(corr_idx.shape[0]):
-        y = jnp.where(x == corr_idx[j], corr_val[j], y)
-    return y
+    return apply_corrected(x, lambda v: _gamma_formula(v, k), corr_idx, corr_val)
 
 
 def gamma_correct(image: jax.Array, k: float) -> jax.Array:
@@ -72,11 +70,20 @@ def gamma_correct(image: jax.Array, k: float) -> jax.Array:
 GAMMA_POLY_LEN = 8  # highest-degree-first, zeros-padded at the front
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def gamma_poly_coeffs(k: float):
     """([GAMMA_POLY_LEN] f32 Horner coefficients, root) for 255*(i/255)^k
     in t = 2*(i/255)^(1/root)-1 space, or None if no degree<=7 fit is close
     enough in either domain (then the pow formula path is used instead).
-    The sqrt domain covers k >= ~0.5; the cbrt domain covers small k."""
+    The sqrt domain covers k >= ~0.5; the cbrt domain covers small k.
+
+    Memoized: make_params and make_isp_fn both consult this for the same k
+    (one builds the corrections, the other the static trace plan), and the
+    cache guarantees they see the SAME fit rather than agreeing by
+    construction. Callers must not mutate the returned array."""
     i = np.arange(256, dtype=np.float64)
     target = 255.0 * np.power(i / 255.0, float(k))
     for root in (2, 3):
@@ -111,10 +118,9 @@ def gamma_apply_poly(image: jax.Array, coeffs: jax.Array,
                      root: int = 2) -> jax.Array:
     """Exact LUT application via the poly formula + corrections."""
     x = image.astype(jnp.int32)
-    y = _gamma_poly_formula(x, coeffs, root)
-    for j in range(corr_idx.shape[0]):
-        y = jnp.where(x == corr_idx[j], corr_val[j], y)
-    return y
+    return apply_corrected(
+        x, lambda v: _gamma_poly_formula(v, coeffs, root), corr_idx, corr_val
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -158,17 +164,22 @@ def _bt709_formula(x, forward: bool):
     f32 = jnp.float32
     xf = x.astype(f32) * f32(1.0 / 255.0)
     if forward:
-        y = jnp.where(
-            xf < f32(0.018),
-            xf * f32(4.5 * 255.0),
-            poly_eval(x, *_BT709_FWD_POLY, 256),
-        )
+        if _BT709_FWD_POLY is not None:
+            hi = poly_eval(x, *_BT709_FWD_POLY, 256)
+        else:  # fit failed on this host's BLAS — transcendental fallback
+            hi = f32(255.0) * (
+                f32(1.099) * jnp.power(jnp.maximum(xf, f32(1e-9)), f32(0.45))
+                - f32(0.099)
+            )
+        y = jnp.where(xf < f32(0.018), xf * f32(4.5 * 255.0), hi)
     else:
-        y = jnp.where(
-            xf < f32(0.081),
-            xf * f32(255.0 / 4.5),
-            poly_eval(x, *_BT709_INV_POLY, 256),
-        )
+        if _BT709_INV_POLY is not None:
+            hi = poly_eval(x, *_BT709_INV_POLY, 256)
+        else:
+            hi = f32(255.0) * jnp.power(
+                (xf + f32(0.099)) * f32(1.0 / 1.099), f32(1.0 / 0.45)
+            )
+        y = jnp.where(xf < f32(0.081), xf * f32(255.0 / 4.5), hi)
     return jnp.clip(jnp.rint(y), 0, 255).astype(jnp.uint8)
 
 
@@ -184,10 +195,9 @@ def gamma_apply_bt709(image: jax.Array, forward: bool,
                       corr_idx: jax.Array, corr_val: jax.Array) -> jax.Array:
     """The GPU-backend 'default' gamma (fixed BT.709 curve, k ignored)."""
     x = image.astype(jnp.int32)
-    y = _bt709_formula(x, forward)
-    for j in range(corr_idx.shape[0]):
-        y = jnp.where(x == corr_idx[j], corr_val[j], y)
-    return y
+    return apply_corrected(
+        x, lambda v: _bt709_formula(v, forward), corr_idx, corr_val
+    )
 
 
 # Back-compat alias used by tests: exact LUT application for an arbitrary

@@ -305,6 +305,9 @@ def test_fast_path_equals_reference_order(bayer_frame, angle):
             PipelineConfig().vignetting_correction,
             enabled=True, scale=1.2, a2=1e-3, a4=1e-6,
         ),
+        undistortion=dataclasses.replace(
+            PipelineConfig().undistortion, enabled=True
+        ),
         calibration=load_camera_calibration(DEFAULT_CALIBRATION_PATH),
     )
     h, w = bayer_frame.shape
