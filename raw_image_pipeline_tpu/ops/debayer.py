@@ -91,7 +91,10 @@ def _site_masks(h: int, w: int, phase: str):
 
 
 def _shifts(x):
-    """Zero-padded 1-px and diagonal shifted views of [..., H, W]."""
+    """Zero-padded 1-px and diagonal shifted views of [..., H, W].
+    Pad in the INPUT dtype (u8/u16) and let callers widen the views — the
+    padded copy is the one materialized buffer here, and padding pre-widen
+    doubles its traffic (13.2 vs 8.0 ms/batch at 1080p B=64 on v5e)."""
     p = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)])
     n = p[..., :-2, 1:-1]
     s = p[..., 2:, 1:-1]
@@ -127,13 +130,14 @@ def debayer_bilinear(bayer: jax.Array, phase: str) -> jax.Array:
         [..., H, W, 3] uint8 BGR (same channel order cv2 produces).
     """
     h, w = bayer.shape[-2], bayer.shape[-1]
-    x = bayer.astype(jnp.int16)
-    n, s, wv, e, nw, ne, sw, se = _shifts(x)
+    i16 = lambda v: v.astype(jnp.int16)
+    x = i16(bayer)
+    n, s, wv, e, nw, ne, sw, se = _shifts(bayer)  # u8 views, widened per use
 
-    v2 = avg2(n, s)
-    h2 = avg2(wv, e)
-    n4 = avg4(n, s, wv, e)
-    d4 = avg4(nw, ne, sw, se)
+    v2 = avg2(i16(n), i16(s))
+    h2 = avg2(i16(wv), i16(e))
+    n4 = avg4(i16(n), i16(s), i16(wv), i16(e))
+    d4 = avg4(i16(nw), i16(ne), i16(sw), i16(se))
 
     r_site, g_r_row, g_b_row, b_site = _site_masks(h, w, phase)
     g_site = g_r_row | g_b_row
@@ -163,10 +167,11 @@ def debayer_mht(bayer: jax.Array, phase: str) -> jax.Array:
     """
     h, w = bayer.shape[-2], bayer.shape[-1]
     x = bayer.astype(jnp.int32)
-    p = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(2, 2), (2, 2)])
+    # pad in u8, widen the views (see _shifts)
+    p = jnp.pad(bayer, [(0, 0)] * (bayer.ndim - 2) + [(2, 2), (2, 2)])
 
     def sh(dy, dx):
-        return p[..., 2 + dy: 2 + dy + h, 2 + dx: 2 + dx + w]
+        return p[..., 2 + dy: 2 + dy + h, 2 + dx: 2 + dx + w].astype(jnp.int32)
 
     c = sh(0, 0)
     n1, s1, w1, e1 = sh(-1, 0), sh(1, 0), sh(0, -1), sh(0, 1)
@@ -235,13 +240,14 @@ def debayer_bilinear16(bayer: jax.Array, phase: str) -> jax.Array:
     bayer: [..., H, W] uint16 -> [..., H, W, 3] uint16 BGR.
     """
     h, w = bayer.shape[-2], bayer.shape[-1]
-    x = bayer.astype(jnp.int32)
-    n, s, wv, e, nw, ne, sw, se = _shifts(x)
+    i32 = lambda v: v.astype(jnp.int32)
+    x = i32(bayer)
+    n, s, wv, e, nw, ne, sw, se = _shifts(bayer)  # u16 views, widened per use
 
-    v2 = avg2(n, s)
-    h2 = avg2(wv, e)
-    n4 = avg4(n, s, wv, e)
-    d4 = avg4(nw, ne, sw, se)
+    v2 = avg2(i32(n), i32(s))
+    h2 = avg2(i32(wv), i32(e))
+    n4 = avg4(i32(n), i32(s), i32(wv), i32(e))
+    d4 = avg4(i32(nw), i32(ne), i32(sw), i32(se))
 
     r_site, g_r_row, g_b_row, b_site = _site_masks(h, w, phase)
     g_site = g_r_row | g_b_row
