@@ -133,3 +133,111 @@ class DirectoryWatchSource:
                 fresh = fresh[-1:]
             for f in fresh:
                 yield self.loader(os.path.join(self.directory, f))
+
+
+# ---------------------------------------------------------------------------
+# Network ingest
+# ---------------------------------------------------------------------------
+
+_WIRE_MAGIC = b"RIP1"
+_WIRE_DTYPES = {0: np.uint8, 1: np.uint16}
+_WIRE_CODES = {np.dtype(np.uint8): 0, np.dtype(np.uint16): 1}
+
+
+def send_frame(sock, frame: np.ndarray) -> None:
+    """Send one frame over a connected socket in the SocketFrameSource wire
+    format: 4-byte magic, u8 dtype code, u8 ndim, ndim x u32 little-endian
+    dims, then the C-contiguous payload."""
+    frame = np.ascontiguousarray(frame)
+    code = _WIRE_CODES[frame.dtype]
+    header = (
+        _WIRE_MAGIC
+        + bytes([code, frame.ndim])
+        + b"".join(int(d).to_bytes(4, "little") for d in frame.shape)
+    )
+    sock.sendall(header + frame.tobytes())
+
+
+def _recv_exact(conn, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = conn.recv(n - len(buf))
+        if not chunk:
+            raise EOFError
+        buf += chunk
+    return bytes(buf)
+
+
+class SocketFrameSource:
+    """Live TCP ingest with the reference node's queue-size-1 contract.
+
+    The reference subscribes to an image transport and always processes the
+    newest frame (raw_image_pipeline_ros.cpp:185-197); this is the
+    transport-agnostic equivalent for a TPU host: a listening socket whose
+    producer(s) stream length-prefixed frames (see send_frame), landing in
+    a single overwrite slot (LatestFrameSource) — when the pipeline is
+    slower than the producer, intermediate frames are dropped and `dropped`
+    counts them.
+
+    Iteration yields np arrays; it ends after close() once the slot drains.
+    Multiple sequential producer connections are accepted (one at a time).
+    """
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        import socket
+
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((host, port))
+        self._srv.listen(1)
+        self.address = self._srv.getsockname()  # (host, actual_port)
+        self._mailbox = LatestFrameSource()
+        self._closing = False
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    @property
+    def dropped(self) -> int:
+        return self._mailbox.dropped
+
+    def _serve(self) -> None:
+        while not self._closing:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                break  # listener closed
+            with conn:
+                try:
+                    while True:
+                        head = _recv_exact(conn, 6)
+                        if head[:4] != _WIRE_MAGIC:
+                            break  # corrupt stream: drop this producer
+                        dtype = _WIRE_DTYPES.get(head[4])
+                        ndim = head[5]
+                        if dtype is None or not 1 <= ndim <= 4:
+                            break
+                        dims = _recv_exact(conn, 4 * ndim)
+                        shape = tuple(
+                            int.from_bytes(dims[4 * i: 4 * i + 4], "little")
+                            for i in range(ndim)
+                        )
+                        count = int(np.prod(shape))
+                        payload = _recv_exact(conn, count * dtype().nbytes)
+                        self._mailbox.put(
+                            np.frombuffer(payload, dtype).reshape(shape)
+                        )
+                except EOFError:
+                    pass  # producer hung up; await the next connection
+        self._mailbox.close()
+
+    def close(self) -> None:
+        self._closing = True
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+        self._thread.join(timeout=5.0)
+        self._mailbox.close()
+
+    def __iter__(self):
+        return iter(self._mailbox)

@@ -34,7 +34,8 @@ from raw_image_pipeline_tpu.runtime.stream import StreamRunner, make_camera_info
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("-i", "--input-dir", required=True)
+    ap.add_argument("-i", "--input-dir",
+                    help="directory of frames (required unless --listen)")
     ap.add_argument("-o", "--output-dir", required=True)
     ap.add_argument("-e", "--encoding", default="bayer_gbrg8",
                     help="input encoding (the ROS input topic encoding)")
@@ -51,7 +52,18 @@ def main(argv=None):
     ap.add_argument("--raw-shape", default=None,
                     help="treat *.raw inputs as headerless HxW (e.g. 540x720) "
                          "8-bit frames, streamed by the native C++ frame pump")
+    ap.add_argument("--listen", default=None, metavar="HOST:PORT",
+                    help="live mode: ingest frames over TCP "
+                         "(runtime.sources.SocketFrameSource wire format; "
+                         "queue-size-1 drop-to-newest like the reference "
+                         "node's subscription) instead of reading files; "
+                         "requires --raw-shape for the frame geometry")
     args = ap.parse_args(argv)
+
+    if args.listen:
+        return _run_live(args)
+    if not args.input_dir:
+        raise SystemExit("--input-dir is required unless --listen is given")
 
     raw_mode = args.raw_shape is not None
     exts = ("raw",) if raw_mode else ("png", "jpg", "jpeg", "tiff")
@@ -114,6 +126,47 @@ def main(argv=None):
 
     n = runner.run(frames(), sink)
     print(f"processed {n} frames -> {args.output_dir}")
+
+
+def _run_live(args):
+    """--listen mode: one frame per dispatch from a live TCP source (the
+    reference node's operating mode — process the newest frame, drop the
+    rest), writing numbered outputs until the source is closed (producer
+    side) or Ctrl-C."""
+    from raw_image_pipeline_tpu.runtime.sources import SocketFrameSource
+
+    if args.raw_shape is None:
+        raise SystemExit("--listen requires --raw-shape HxW")
+    h, w = (int(x) for x in args.raw_shape.lower().split("x"))
+
+    api = RawImagePipeline(False, args.params, args.calibration,
+                           args.color_calibration)
+    os.makedirs(args.output_dir, exist_ok=True)
+    infos = make_camera_infos(api, output_frame=args.output_frame)
+    with open(os.path.join(args.output_dir, "camera_info.yaml"), "w") as f:
+        yaml.safe_dump({k: v.to_dict() for k, v in infos.items()}, f)
+
+    host, _, port = args.listen.partition(":")
+    src = SocketFrameSource(host or "127.0.0.1", int(port or 0))
+    print(f"listening on {src.address[0]}:{src.address[1]}", flush=True)
+    n = 0
+    try:
+        for frame in src:
+            if frame.shape[:2] != (h, w):
+                print(f"skipping frame with shape {frame.shape} != {h}x{w}")
+                continue
+            out = api.process(frame, args.encoding)
+            if args.output_encoding == "RGB" and out.ndim == 3:
+                out = out[..., ::-1]
+            cv2.imwrite(os.path.join(args.output_dir, f"{n:06d}.png"), out)
+            n += 1
+    except KeyboardInterrupt:
+        pass
+    finally:
+        src.close()
+    print(f"processed {n} live frames ({src.dropped} dropped) "
+          f"-> {args.output_dir}")
+    return n
 
 
 if __name__ == "__main__":
