@@ -54,6 +54,21 @@ def main():
         bad += int(np.asarray(d))
     log(f"TPU hsv_to_bgr exhaustive: {bad} mismatches")
 
+    # forward Lab (the vignetting entry conversion; its sRGB table is
+    # poly-served since round 2 — the corrections pin every table entry,
+    # this re-certifies the whole composition)
+    bad = 0
+    for b0 in range(0, 256, 64):
+        Bs = np.arange(b0, b0 + 64, dtype=np.uint8)
+        bgr = np.stack([
+            np.broadcast_to(Bs[:, None, None], (64, 256, 256)),
+            np.broadcast_to(aa, (64, 256, 256)),
+            np.broadcast_to(bb, (64, 256, 256))], -1).reshape(64, -1, 3)
+        ref = cv2.cvtColor(bgr, cv2.COLOR_BGR2Lab)
+        d = jax.jit(lambda x, r: jnp.sum((cs.bgr_to_lab_u8(x) != r).astype(jnp.int32)))(bgr, ref)
+        bad += int(np.asarray(d))
+    log(f"TPU bgr_to_lab exhaustive: {bad} mismatches")
+
     # statistical WB on TPU vs committed oracle goldens
     from raw_image_pipeline_tpu.ops.white_balance import (
         balance_white_grey_world, balance_white_simple, balance_white_learned,
