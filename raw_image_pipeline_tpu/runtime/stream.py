@@ -160,6 +160,16 @@ class StreamRunner:
 
         def dispatch(batch: np.ndarray):
             nonlocal in_flight
+            n = batch.shape[0]
+            if n < self.batch_size and not self.with_state:
+                # pad the tail batch up to the traced batch size so it
+                # reuses the compiled program instead of paying a one-off
+                # retrace (~tens of seconds); emit() only reads the first
+                # n entries. Stateful runs can't pad — the Kalman scan
+                # would advance the illuminant track over the pad frames —
+                # so they accept the tail retrace instead.
+                pad = np.repeat(batch[-1:], self.batch_size - n, axis=0)
+                batch = np.concatenate([batch, pad])
             if self.mesh is not None:
                 from raw_image_pipeline_tpu.parallel.mesh import shard_batch
 
@@ -171,7 +181,7 @@ class StreamRunner:
             else:
                 outputs, _ = self.pipe(dev, None)
             prev = in_flight
-            in_flight = (batch.shape[0], outputs)
+            in_flight = (n, outputs)
             if prev is not None:
                 emit(*prev)  # fetch previous batch while this one computes
 

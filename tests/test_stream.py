@@ -91,3 +91,38 @@ def test_state_checkpoint_resume(tmp_path):
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
     np.testing.assert_array_equal(np.asarray(a[0].x), np.asarray(b[0].x))
     np.testing.assert_array_equal(np.asarray(a[0].p), np.asarray(b[0].p))
+
+
+def test_partial_tail_batch_padded(frames):
+    """A stateless run whose frame count is not a batch multiple pads the
+    tail dispatch to the traced batch size (no retrace) and emits exactly
+    the real frames, identical to per-frame processing."""
+    import dataclasses
+
+    from raw_image_pipeline_tpu.config import PipelineConfig
+    from raw_image_pipeline_tpu.pipeline import build_pipeline
+    from raw_image_pipeline_tpu.runtime.stream import StreamRunner
+
+    cfg = PipelineConfig()
+    cfg = cfg.replace(
+        white_balance=dataclasses.replace(
+            cfg.white_balance, enabled=True, method="ccc",
+            temporal_consistency=False,
+        )
+    )
+    seq = [frames[i % len(frames)] for i in range(5)]  # 5 frames, batch 4
+    h, w = seq[0].shape[:2]
+    runner = StreamRunner(cfg, "bayer_gbrg8", (h, w), batch_size=4)
+    got = {}
+    n = runner.run(iter(seq), lambda stream, idx, img: got.setdefault((stream, idx), img))
+    assert n == 5
+    assert ("color", 4) in got and ("color", 5) not in got
+
+    ref_pipe = build_pipeline(cfg, "bayer_gbrg8", frame_hw=(h, w),
+                              keep_intermediates=True)
+    out, _ = ref_pipe(np.stack(seq))
+    for i in range(5):
+        np.testing.assert_array_equal(
+            got[("color", i)],
+            np.asarray(out.get("dist_color", out["processed"])[i]),
+        )
