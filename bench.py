@@ -204,18 +204,20 @@ def config_benchmarks(h=1080, w=1920):
             full.color_enhancer, enabled=True, saturation_gain=1.2
         ),
     )
-    pipe4 = build_pipeline(cfg4, "bgr8", frame_hw=(h, w))
-    p4 = jax.device_put(pipe4.params)
-    step4 = chain_step(pipe4, p4)
     # batch 512 (the BASELINE figure) needs ~13 GB of u8/f32 working set at
-    # 1080p and OOMs on a single 16 GB v5e chip; the fallback halves until
-    # it fits and the report names the batch actually used
-    for b4 in (512, 256, 128):
+    # 1080p and OOMs in one dispatch on a 16 GB v5e chip; microbatch=128
+    # (pipeline-level lax.map chunking) bounds peak HBM and runs it. The
+    # ladder records whichever variant fits first.
+    for b4, mb in ((512, 128), (256, None), (128, None)):
         try:
+            pipe4 = build_pipeline(cfg4, "bgr8", frame_hw=(h, w), microbatch=mb)
+            p4 = jax.device_put(pipe4.params)
+            step4 = chain_step(pipe4, p4)
             b4s = device_noise((b4 // 4, h, w, 3), 41)
             b4b = device_noise((b4, h, w, 3), 42)
             dt4, _, _ = _marginal_per_frame(lambda px: step4(p4, px), b4s, b4b, repeats=3)
-            record(f"config4_pointwise_b{b4}", {
+            tag = f"config4_pointwise_b{b4}" + (f"_microbatch{mb}" if mb else "")
+            record(tag, {
                 "per_frame_compute_ms": round(dt4 * 1e3, 4),
                 "frames_per_s": round(1 / dt4, 1),
             })

@@ -526,6 +526,7 @@ def build_pipeline(
     donate: bool = False,
     debug: bool = False,
     temporal_mode: str = "cameras",
+    microbatch: Optional[int] = None,
 ) -> BuiltPipeline:
     """Build and jit the full ISP for one configuration.
 
@@ -539,6 +540,13 @@ def build_pipeline(
       * "sequence" — batch entries are consecutive frames of one stream,
         state is a single track advanced through them in order
         (bitwise equal to feeding the frames one dispatch at a time).
+
+    microbatch: process the batch as sequential chunks of this size inside
+    one dispatch (lax.map, or lax.scan when state is carried) — bounds peak
+    HBM at roughly the chunk working set, letting batches run that exceed
+    single-dispatch memory (e.g. 512x1080p pointwise chains on a 16 GB
+    chip). Bitwise identical to the unchunked program, incl. the temporal
+    track. The batch must be a multiple of `microbatch`.
     """
     if frame_hw is None:
         frame_hw = (config.calibration.image_height, config.calibration.image_width)
@@ -558,5 +566,29 @@ def build_pipeline(
         config, encoding, with_state, keep_intermediates, debug, temporal_mode,
         remap_src_hw=src_hw,
     )
+    if microbatch:
+        inner_fn = raw_fn
+
+        def raw_fn(p, pixels, state):  # noqa: F811 — chunked wrapper
+            b = pixels.shape[0]
+            if b <= microbatch:
+                return inner_fn(p, pixels, state)
+            if b % microbatch:
+                raise ValueError(
+                    f"batch {b} is not a multiple of microbatch {microbatch}"
+                )
+            xs = pixels.reshape((b // microbatch, microbatch) + pixels.shape[1:])
+            if with_state:
+                def body(st, chunk):
+                    out, st2 = inner_fn(p, chunk, st)
+                    return st2, out
+                state, outs = jax.lax.scan(body, state, xs)
+            else:
+                outs = jax.lax.map(lambda c: inner_fn(p, c, None)[0], xs)
+            outputs = {
+                k: v.reshape((b,) + v.shape[2:]) for k, v in outs.items()
+            }
+            return outputs, state
+
     jitted = jax.jit(raw_fn, donate_argnums=(1,) if donate else ())
     return BuiltPipeline(config=config, params=params, ccc_model=ccc_model, fn=jitted)

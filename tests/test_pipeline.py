@@ -319,3 +319,34 @@ def test_fast_path_equals_reference_order(bayer_frame, angle):
     np.testing.assert_array_equal(
         np.asarray(of["processed"]), np.asarray(orf["processed"])
     )
+
+
+@pytest.mark.parametrize("stateful", [False, True])
+def test_microbatch_equals_unchunked(bayer_frame, stateful):
+    """microbatch=k (lax.map / lax.scan chunks inside one dispatch) is
+    bitwise identical to the unchunked program, including the temporal
+    track threaded across chunks."""
+    cfg = PipelineConfig()
+    cfg = cfg.replace(
+        white_balance=dataclasses.replace(
+            cfg.white_balance, enabled=True, method="ccc",
+            temporal_consistency=stateful,
+        )
+    )
+    h, w = bayer_frame.shape
+    batch = np.stack([np.roll(bayer_frame, i, axis=0) for i in range(6)])
+    from raw_image_pipeline_tpu.pipeline import init_state
+
+    plain = build_pipeline(cfg, "bayer_gbrg8", frame_hw=(h, w),
+                           with_state=stateful, temporal_mode="sequence")
+    micro = build_pipeline(cfg, "bayer_gbrg8", frame_hw=(h, w),
+                           with_state=stateful, temporal_mode="sequence",
+                           microbatch=2)
+    st = init_state(()) if stateful else None
+    op, sp = plain(batch, st)
+    om, sm = micro(batch, st)
+    np.testing.assert_array_equal(
+        np.asarray(op["processed"]), np.asarray(om["processed"])
+    )
+    if stateful:
+        np.testing.assert_array_equal(np.asarray(sp.x), np.asarray(sm.x))
