@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Dict, Iterable, List
 
+import jax
 import numpy as np
 
 from raw_image_pipeline_tpu.config import PipelineConfig
@@ -106,6 +107,11 @@ class StreamRunner:
             config, encoding, frame_hw=frame_hw,
             with_state=self.with_state, keep_intermediates=True,
             temporal_mode="sequence",
+            # every dispatch stages a fresh host batch, so the previous
+            # device input is dead the moment the program runs — donating
+            # it gives the steady state one batch worth of HBM headroom
+            # (CPU can't alias these buffers and would warn every dispatch)
+            donate=jax.default_backend() != "cpu",
         )
         # one shared illuminant track, like the reference's single camera
         # stream; batch entries advance it sequentially via scan semantics
@@ -131,8 +137,6 @@ class StreamRunner:
         so disk IO (the native pump), H2D staging, TPU compute and D2H
         readback of consecutive batches overlap.
         """
-        import jax
-
         count = 0
         buf: List[np.ndarray] = []
         in_flight = None  # (n_frames, outputs dict of device arrays)
