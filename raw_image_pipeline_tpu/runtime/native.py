@@ -117,3 +117,98 @@ class FramePump:
             self.close()
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Native writer pool (native/frame_sink.cpp)
+# ---------------------------------------------------------------------------
+
+_SINK_LIB_PATH = os.path.join(_NATIVE_DIR, "libframe_sink.so")
+_sink_lib = None
+
+
+def _load_sink() -> Optional[ctypes.CDLL]:
+    global _sink_lib
+    if _sink_lib is not None:
+        return _sink_lib
+    if not os.path.exists(_SINK_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SINK_LIB_PATH)
+    except OSError:
+        return None
+    lib.fs_create.restype = ctypes.c_void_p
+    lib.fs_create.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.fs_submit.restype = ctypes.c_int
+    lib.fs_submit.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.fs_flush.restype = ctypes.c_long
+    lib.fs_flush.argtypes = [ctypes.c_void_p]
+    lib.fs_destroy.argtypes = [ctypes.c_void_p]
+    _sink_lib = lib
+    return lib
+
+
+def native_sink_available() -> bool:
+    return _load_sink() is not None
+
+
+class FrameSink:
+    """Threaded native writer pool: PNG/JPEG encoding is CPU-bound and
+    cv2.imwrite holds the GIL, so a Python-side file sink caps the stream
+    far below chain throughput; this pool encodes/writes on worker threads
+    behind a bounded queue (submit blocks when full — backpressure).
+
+    write(path, img) copies the array and returns immediately; flush()
+    waits for the queue to drain and returns the failed-write count."""
+
+    def __init__(self, threads: int = 8, queue_cap: int = 64):
+        lib = _load_sink()
+        if lib is None:
+            raise RuntimeError("native frame sink unavailable (build failed)")
+        self._lib = lib
+        self._h = lib.fs_create(threads, queue_cap)
+        if not self._h:
+            raise RuntimeError("fs_create failed")
+
+    def write(self, path: str, img: np.ndarray) -> None:
+        img = np.ascontiguousarray(img)
+        if img.dtype != np.uint8 or img.ndim not in (2, 3):
+            raise ValueError("FrameSink writes uint8 HxW or HxWx3 images")
+        h, w = img.shape[:2]
+        c = 1 if img.ndim == 2 else img.shape[2]
+        rc = self._lib.fs_submit(
+            self._h, path.encode(),
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
+        )
+        if rc != 0:
+            raise RuntimeError(f"fs_submit failed ({rc})")
+
+    def flush(self) -> int:
+        return int(self._lib.fs_flush(self._h))
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.fs_flush(self._h)
+            self._lib.fs_destroy(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -100,10 +100,27 @@ def main(argv=None):
 
     names = [os.path.splitext(os.path.basename(p))[0] for p in paths]
 
+    # PNG encoding is CPU-bound and cv2.imwrite holds the GIL; the native
+    # writer pool (native/frame_sink.cpp) encodes on worker threads and
+    # backpressures via its bounded queue. Falls back to Python writes.
+    from raw_image_pipeline_tpu.runtime.native import (
+        FrameSink,
+        native_sink_available,
+    )
+
+    pool = FrameSink() if native_sink_available() else None
+    made_dirs = set()
+
     def sink(stream, idx, img):
         d = os.path.join(args.output_dir, stream.replace("/", "_"))
-        os.makedirs(d, exist_ok=True)
-        cv2.imwrite(os.path.join(d, names[idx] + ".png"), img)
+        if d not in made_dirs:
+            os.makedirs(d, exist_ok=True)
+            made_dirs.add(d)
+        path = os.path.join(d, names[idx] + ".png")
+        if pool is not None:
+            pool.write(path, img)
+        else:
+            cv2.imwrite(path, img)
 
     def frames():
         if raw_mode:
@@ -125,6 +142,11 @@ def main(argv=None):
                 yield cv2.imread(p, cv2.IMREAD_UNCHANGED)
 
     n = runner.run(frames(), sink)
+    if pool is not None:
+        failures = pool.flush()
+        pool.close()
+        if failures:
+            raise SystemExit(f"{failures} output writes failed")
     print(f"processed {n} frames -> {args.output_dir}")
 
 

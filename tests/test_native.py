@@ -55,3 +55,49 @@ def test_short_file_zero_filled(tmp_path):
     pump.close()
     assert batch[0].ravel()[:5].tolist() == [7] * 5
     assert batch[0].ravel()[5:].sum() == 0
+
+
+def test_native_frame_sink_roundtrip(tmp_path):
+    import cv2
+
+    from raw_image_pipeline_tpu.runtime.native import (
+        FrameSink,
+        native_sink_available,
+    )
+
+    if not native_sink_available():
+        import pytest
+
+        pytest.skip("native sink build unavailable")
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 256, (32, 48, 3), np.uint8) for _ in range(10)]
+    mono = rng.integers(0, 256, (16, 24), np.uint8)
+    with FrameSink(threads=4, queue_cap=4) as sink:
+        for i, im in enumerate(imgs):
+            sink.write(str(tmp_path / f"f{i:03d}.png"), im)
+        sink.write(str(tmp_path / "mono.png"), mono)
+        sink.write(str(tmp_path / "blob.raw"), imgs[0])
+        assert sink.flush() == 0
+    for i, im in enumerate(imgs):
+        back = cv2.imread(str(tmp_path / f"f{i:03d}.png"))
+        np.testing.assert_array_equal(back, im)
+    back = cv2.imread(str(tmp_path / "mono.png"), cv2.IMREAD_UNCHANGED)
+    np.testing.assert_array_equal(back, mono)
+    raw = np.fromfile(tmp_path / "blob.raw", np.uint8).reshape(32, 48, 3)
+    np.testing.assert_array_equal(raw, imgs[0])
+
+
+def test_native_frame_sink_failure_counted(tmp_path):
+    from raw_image_pipeline_tpu.runtime.native import (
+        FrameSink,
+        native_sink_available,
+    )
+
+    if not native_sink_available():
+        import pytest
+
+        pytest.skip("native sink build unavailable")
+    with FrameSink(threads=2) as sink:
+        sink.write("/nonexistent-dir/x.png",
+                   np.zeros((8, 8, 3), np.uint8))
+        assert sink.flush() == 1

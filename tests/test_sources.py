@@ -213,3 +213,27 @@ def test_run_pipeline_listen_mode(tmp_path):
     pngs = sorted(out.glob("*.png"))
     assert len(pngs) == n
     assert (out / "camera_info.yaml").exists()
+
+
+def test_run_pipeline_directory_mode(tmp_path):
+    """Directory mode end-to-end: PNGs in -> processed streams out through
+    the batched runner (and the native writer pool when available)."""
+    import cv2
+
+    from raw_image_pipeline_tpu.tools import run_pipeline
+
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(5):
+        cv2.imwrite(str(indir / f"f{i}.png"),
+                    rng.integers(0, 256, (64, 96), np.uint8))
+    run_pipeline.main([
+        "-i", str(indir), "-o", str(outdir), "-e", "bayer_gbrg8", "-b", "2",
+    ])
+    pngs = sorted((outdir / "color").glob("*.png"))
+    assert len(pngs) == 5
+    img = cv2.imread(str(pngs[0]))
+    assert img.shape == (64, 96, 3)
+    assert (outdir / "camera_info.yaml").exists()
