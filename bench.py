@@ -112,6 +112,20 @@ def config_benchmarks(h=1080, w=1920):
         results[key] = val
         log(f"  {key}: {val}")
 
+    def release(*arrays):
+        """Drop device buffers between configs — the config-4 batch-512
+        working set only fits if the earlier configs' batches and programs
+        are gone (HBM is 16 GB and RESOURCE_EXHAUSTED poisons everything
+        after it)."""
+        import gc
+
+        for a in arrays:
+            try:
+                a.delete()
+            except Exception:
+                pass
+        gc.collect()
+
     def chain_step(pipe, params, with_state=False):
         if with_state:
             @jax.jit
@@ -147,6 +161,8 @@ def config_benchmarks(h=1080, w=1920):
         "per_frame_compute_ms": round(dt1 * 1e3, 4),
         "frames_per_s": round(1 / dt1, 1),
     })
+    release(one, b1s, b1b)
+    del pipe1, step1
 
     # --- config 2: debayer + flip + grey_world WB, batch 64 ---------------
     cfg2 = PipelineConfig(
@@ -166,6 +182,8 @@ def config_benchmarks(h=1080, w=1920):
         "per_frame_compute_ms": round(dt2 * 1e3, 4),
         "frames_per_s": round(1 / dt2, 1),
     })
+    release(b2s, b2b)
+    del pipe2, step2
 
     # --- config 3: full chain + CCC + Kalman temporal consistency ---------
     cfg3 = full.replace(
@@ -191,6 +209,8 @@ def config_benchmarks(h=1080, w=1920):
         "per_frame_compute_ms": round(dt3 * 1e3, 4),
         "frames_per_s": round(1 / dt3, 1),
     })
+    release(b3s, b3b)
+    del pipe3, step3
 
     # --- config 4: colorcal + vignetting + HSV enhancement, batch 512 -----
     cfg4 = PipelineConfig(
@@ -208,6 +228,7 @@ def config_benchmarks(h=1080, w=1920):
     # 1080p and OOMs in one dispatch on a 16 GB v5e chip; microbatch=128
     # (pipeline-level lax.map chunking) bounds peak HBM and runs it. The
     # ladder records whichever variant fits first.
+    b4s = b4b = None
     for b4, mb in ((512, 128), (256, None), (128, None)):
         try:
             pipe4 = build_pipeline(cfg4, "bgr8", frame_hw=(h, w), microbatch=mb)
@@ -222,9 +243,12 @@ def config_benchmarks(h=1080, w=1920):
                 "frames_per_s": round(1 / dt4, 1),
             })
             break
-        except Exception as e:  # OOM at the big batch — halve and retry
+        except Exception as e:  # OOM at the big batch — free and retry
             log(f"config4 batch {b4} failed ({type(e).__name__}); retrying smaller")
             continue
+        finally:
+            release(*(a for a in (b4s, b4b) if a is not None))
+            b4s = b4b = None
 
     # --- config 5: full chain, 4 cameras (vmapped; multi-host N/A 1-chip) -
     try:
@@ -252,6 +276,7 @@ def config_benchmarks(h=1080, w=1920):
             "per_frame_compute_ms": round(dt5 * 1e3, 4),
             "frames_per_s": round(1 / dt5, 1),
         })
+        release(c5s, c5b)
     except Exception as e:
         log(f"config5 multicamera skipped: {e}")
 

@@ -20,6 +20,11 @@ from raw_image_pipeline_tpu.config import (
 
 
 def main(argv=None):
+    from raw_image_pipeline_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-i", "--image", default="tests/fixtures/alphasense.png")
     ap.add_argument("-e", "--encoding", default="bgr8")

@@ -33,6 +33,11 @@ from raw_image_pipeline_tpu.runtime.stream import StreamRunner, make_camera_info
 
 
 def main(argv=None):
+    from raw_image_pipeline_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-i", "--input-dir",
                     help="directory of frames (required unless --listen)")

@@ -15,6 +15,11 @@ def log(*a):
 
 
 def main():
+    from raw_image_pipeline_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     import jax
     import __graft_entry__ as ge
     from raw_image_pipeline_tpu.runtime.native import FramePump, native_available
