@@ -30,8 +30,7 @@ def device_noise(shape, seed, dtype=None):
     fn = jax.jit(
         lambda: jax.random.randint(
             jax.random.PRNGKey(seed), shape, 0, 256, jnp.int32
-        ).astype(dtype),
-        static_argnums=(),
+        ).astype(dtype)
     )
     out = fn()
     out.block_until_ready()

@@ -516,6 +516,32 @@ def make_isp_fn(
     return fn
 
 
+def _chunked_fn(inner_fn, microbatch: int, with_state: bool):
+    """Wrap an isp fn to process the batch as sequential `microbatch`-sized
+    chunks inside one dispatch (see build_pipeline's microbatch doc)."""
+
+    def fn(p, pixels, state):
+        b = pixels.shape[0]
+        if b <= microbatch:
+            return inner_fn(p, pixels, state)
+        if b % microbatch:
+            raise ValueError(
+                f"batch {b} is not a multiple of microbatch {microbatch}"
+            )
+        xs = pixels.reshape((b // microbatch, microbatch) + pixels.shape[1:])
+        if with_state:
+            def body(st, chunk):
+                out, st2 = inner_fn(p, chunk, st)
+                return st2, out
+            state, outs = jax.lax.scan(body, state, xs)
+        else:
+            outs = jax.lax.map(lambda c: inner_fn(p, c, None)[0], xs)
+        outputs = {k: v.reshape((b,) + v.shape[2:]) for k, v in outs.items()}
+        return outputs, state
+
+    return fn
+
+
 def build_pipeline(
     config: PipelineConfig,
     encoding: str = "bayer_gbrg8",
@@ -567,28 +593,7 @@ def build_pipeline(
         remap_src_hw=src_hw,
     )
     if microbatch:
-        inner_fn = raw_fn
-
-        def raw_fn(p, pixels, state):  # noqa: F811 — chunked wrapper
-            b = pixels.shape[0]
-            if b <= microbatch:
-                return inner_fn(p, pixels, state)
-            if b % microbatch:
-                raise ValueError(
-                    f"batch {b} is not a multiple of microbatch {microbatch}"
-                )
-            xs = pixels.reshape((b // microbatch, microbatch) + pixels.shape[1:])
-            if with_state:
-                def body(st, chunk):
-                    out, st2 = inner_fn(p, chunk, st)
-                    return st2, out
-                state, outs = jax.lax.scan(body, state, xs)
-            else:
-                outs = jax.lax.map(lambda c: inner_fn(p, c, None)[0], xs)
-            outputs = {
-                k: v.reshape((b,) + v.shape[2:]) for k, v in outs.items()
-            }
-            return outputs, state
+        raw_fn = _chunked_fn(raw_fn, microbatch, with_state)
 
     jitted = jax.jit(raw_fn, donate_argnums=(1,) if donate else ())
     return BuiltPipeline(config=config, params=params, ccc_model=ccc_model, fn=jitted)
