@@ -181,6 +181,10 @@ class SocketFrameSource:
 
     Iteration yields np arrays; it ends after close() once the slot drains.
     Multiple sequential producer connections are accepted (one at a time).
+    close() is the owner-side shutdown: frames already received drain, but
+    a connection still sitting in the TCP listen backlog (connected,
+    never accepted) is dropped with it — the same drop-on-shutdown
+    contract a ROS node's queue has.
     """
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0):

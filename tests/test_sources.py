@@ -106,20 +106,27 @@ def test_socket_frame_source_roundtrip():
     frames = [
         (np.arange(12, dtype=np.uint8).reshape(3, 4) + i) for i in range(5)
     ]
+    took_first = threading.Event()  # deterministic sync, no sleeps
 
     def produce():
         with socket.create_connection((host, port)) as s:
             send_frame(s, frames[0])
-            time.sleep(0.2)  # let the consumer take frame 0
+            assert took_first.wait(10.0)
             for f in frames[1:]:
-                send_frame(s, f)  # burst: all but the last overwritten
-            time.sleep(0.2)
+                send_frame(s, f)  # burst: all but the last may be dropped
+        # the socket EOF is processed after every sent frame, so by the
+        # time close() runs the newest frame is (or already was) in the
+        # slot; the iterator drains it before ending
         src.close()
 
     t = threading.Thread(target=produce)
     t.start()
-    got = list(src)
+    it = iter(src)
+    first = next(it)
+    took_first.set()
+    rest = list(it)
     t.join()
+    got = [first] + rest
     assert len(got) >= 2
     np.testing.assert_array_equal(got[0], frames[0])
     np.testing.assert_array_equal(got[-1], frames[-1])
@@ -139,23 +146,28 @@ def test_socket_frame_source_u16_and_reconnect():
     src = SocketFrameSource()
     host, port = src.address
     a = np.arange(6, dtype=np.uint16).reshape(2, 3) * 300
+    took_first = threading.Event()
 
     def produce():
         with socket.create_connection((host, port)) as s:
             send_frame(s, a)
-        time.sleep(0.1)  # producer 1 hangs up; source must accept another
+        assert took_first.wait(10.0)  # don't overwrite before the consumer
         with socket.create_connection((host, port)) as s:
             send_frame(s, a + 1)
-        time.sleep(0.2)
-        src.close()
 
     t = threading.Thread(target=produce)
     t.start()
-    got = list(src)
+    it = iter(src)
+    first = next(it)
+    took_first.set()
+    second = next(it)  # blocks until the reconnected producer's frame lands
     t.join()
-    assert len(got) == 2
-    np.testing.assert_array_equal(got[0], a)
-    np.testing.assert_array_equal(got[1], a + 1)
+    # owner-side close: drops anything still in the TCP backlog (the same
+    # queue-drop contract), ends the iteration
+    src.close()
+    assert list(it) == []
+    np.testing.assert_array_equal(first, a)
+    np.testing.assert_array_equal(second, a + 1)
 
 
 def test_run_pipeline_listen_mode(tmp_path):
