@@ -98,3 +98,20 @@ def test_new_image_size_scales_rect_K():
                        borderMode=cv2.BORDER_CONSTANT, borderValue=0)
     d = np.abs(out.astype(int) - golden.astype(int))
     assert d.max() <= 1
+
+
+def test_remap_precompute_concentrates_oob_indices():
+    """Fully out-of-image output pixels (all-zero weights) gather from row 0
+    so their indices hit one cached row; partially-in-range pixels keep
+    their real anchors."""
+    from raw_image_pipeline_tpu.ops.undistortion import remap_precompute
+
+    h, w = 8, 10
+    mx = np.full((4, 6), -50.0, np.float32)  # entirely out of range
+    my = np.full((4, 6), -50.0, np.float32)
+    mx[0, 0], my[0, 0] = 3.5, 2.5            # one valid interior sample
+    base, weights = remap_precompute(mx, my, (h, w))
+    oob = (weights == 0).all(axis=0)
+    assert oob.sum() == 23 and not oob[0]
+    np.testing.assert_array_equal(base[oob], 0)
+    assert base[0] == 2 * w + 3
