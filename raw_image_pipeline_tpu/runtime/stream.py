@@ -94,6 +94,7 @@ class StreamRunner:
         output_encoding: str = "BGR",
         slow_skip: int = 0,
         mesh=None,
+        microbatch=None,
     ):
         self.config = config
         self.encoding = encoding
@@ -107,6 +108,8 @@ class StreamRunner:
             config, encoding, frame_hw=frame_hw,
             with_state=self.with_state, keep_intermediates=True,
             temporal_mode="sequence",
+            # bound peak HBM for very large batch_size (see build_pipeline)
+            microbatch=microbatch,
             # every dispatch stages a fresh host batch, so the previous
             # device input is dead the moment the program runs — donating
             # it gives the steady state one batch worth of HBM headroom

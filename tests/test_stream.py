@@ -126,3 +126,30 @@ def test_partial_tail_batch_padded(frames):
             got[("color", i)],
             np.asarray(out.get("dist_color", out["processed"])[i]),
         )
+
+
+def test_stream_runner_microbatch(frames):
+    """batch_size beyond single-dispatch memory works via microbatch, with
+    identical outputs to the plain runner."""
+    import dataclasses
+
+    from raw_image_pipeline_tpu.config import PipelineConfig
+    from raw_image_pipeline_tpu.runtime.stream import StreamRunner
+
+    cfg = PipelineConfig()
+    cfg = cfg.replace(
+        white_balance=dataclasses.replace(
+            cfg.white_balance, enabled=True, method="ccc",
+            temporal_consistency=False,
+        )
+    )
+    seq = [frames[i % len(frames)] for i in range(4)]
+    h, w = seq[0].shape[:2]
+    got_a, got_b = {}, {}
+    StreamRunner(cfg, "bayer_gbrg8", (h, w), batch_size=4).run(
+        iter(seq), lambda s, i, img: got_a.setdefault((s, i), img))
+    StreamRunner(cfg, "bayer_gbrg8", (h, w), batch_size=4, microbatch=2).run(
+        iter(seq), lambda s, i, img: got_b.setdefault((s, i), img))
+    assert got_a.keys() == got_b.keys()
+    for k in got_a:
+        np.testing.assert_array_equal(got_a[k], got_b[k])
