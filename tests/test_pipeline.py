@@ -350,3 +350,21 @@ def test_microbatch_equals_unchunked(bayer_frame, stateful):
     )
     if stateful:
         np.testing.assert_array_equal(np.asarray(sp.x), np.asarray(sm.x))
+
+
+def test_flip_odd_size_frames_match_cv2():
+    """Odd-sized frames can't hoist the flip onto the mosaic (pattern
+    parity shifts); the guard must fall back to post-debayer flipping and
+    still match cv2 exactly."""
+    rng = np.random.default_rng(7)
+    bay = rng.integers(0, 256, (31, 47), np.uint8)
+    cfg = PipelineConfig(
+        flip=dataclasses.replace(PipelineConfig().flip, enabled=True, angle=180)
+    )
+    h, w = bay.shape
+    pipe = build_pipeline(cfg, "bayer_gbrg8", frame_hw=(h, w))
+    out, _ = pipe(bay[None])
+    ref = cv2.demosaicing(bay, cv2.COLOR_BayerGB2BGR)
+    ref = cv2.cvtColor(ref, cv2.COLOR_RGB2BGR)
+    ref = cv2.flip(ref, -1)
+    np.testing.assert_array_equal(np.asarray(out["processed"][0]), ref)
