@@ -524,11 +524,14 @@ def _chunked_fn(inner_fn, microbatch: int, with_state: bool):
         b = pixels.shape[0]
         if b <= microbatch:
             return inner_fn(p, pixels, state)
-        if b % microbatch:
-            raise ValueError(
-                f"batch {b} is not a multiple of microbatch {microbatch}"
-            )
-        xs = pixels.reshape((b // microbatch, microbatch) + pixels.shape[1:])
+        # a batch that is not a multiple of `microbatch` runs the full
+        # chunks through the scan/map and the remainder through one extra
+        # (smaller) traced instance of the chain, state carried through in
+        # order — so stateful tail batches (StreamRunner with temporal
+        # consistency) work instead of raising
+        rem = b % microbatch
+        full = b - rem
+        xs = pixels[:full].reshape((full // microbatch, microbatch) + pixels.shape[1:])
         if with_state:
             def body(st, chunk):
                 out, st2 = inner_fn(p, chunk, st)
@@ -536,7 +539,12 @@ def _chunked_fn(inner_fn, microbatch: int, with_state: bool):
             state, outs = jax.lax.scan(body, state, xs)
         else:
             outs = jax.lax.map(lambda c: inner_fn(p, c, None)[0], xs)
-        outputs = {k: v.reshape((b,) + v.shape[2:]) for k, v in outs.items()}
+        outputs = {k: v.reshape((full,) + v.shape[2:]) for k, v in outs.items()}
+        if rem:
+            tail, state = inner_fn(p, pixels[full:], state)
+            outputs = {
+                k: jnp.concatenate([outputs[k], tail[k]]) for k in outputs
+            }
         return outputs, state
 
     return fn
@@ -572,7 +580,8 @@ def build_pipeline(
     HBM at roughly the chunk working set, letting batches run that exceed
     single-dispatch memory (e.g. 512x1080p pointwise chains on a 16 GB
     chip). Bitwise identical to the unchunked program, incl. the temporal
-    track. The batch must be a multiple of `microbatch`.
+    track. A batch that is not a multiple of `microbatch` runs its
+    remainder as one extra smaller chunk (state carried through in order).
     """
     if frame_hw is None:
         frame_hw = (config.calibration.image_height, config.calibration.image_width)

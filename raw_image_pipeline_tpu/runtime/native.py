@@ -21,12 +21,16 @@ _NATIVE_DIR = os.path.join(
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libframe_pump.so")
 
 _lib = None
+# tri-state loader caches: None = not attempted, _LOAD_FAILED = attempted and
+# failed (so a missing toolchain pays the build subprocess at most once per
+# process), else the loaded CDLL
+_LOAD_FAILED = object()
 
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
-        return _lib
+        return None if _lib is _LOAD_FAILED else _lib
     if not os.path.exists(_LIB_PATH):
         try:
             subprocess.run(
@@ -36,10 +40,12 @@ def _load() -> Optional[ctypes.CDLL]:
                 timeout=120,
             )
         except Exception:
+            _lib = _LOAD_FAILED
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
+        _lib = _LOAD_FAILED
         return None
     lib.fp_create.restype = ctypes.c_void_p
     lib.fp_create.argtypes = [
@@ -130,7 +136,7 @@ _sink_lib = None
 def _load_sink() -> Optional[ctypes.CDLL]:
     global _sink_lib
     if _sink_lib is not None:
-        return _sink_lib
+        return None if _sink_lib is _LOAD_FAILED else _sink_lib
     if not os.path.exists(_SINK_LIB_PATH):
         try:
             subprocess.run(
@@ -138,10 +144,12 @@ def _load_sink() -> Optional[ctypes.CDLL]:
                 check=True, capture_output=True, timeout=120,
             )
         except Exception:
+            _sink_lib = _LOAD_FAILED
             return None
     try:
         lib = ctypes.CDLL(_SINK_LIB_PATH)
     except OSError:
+        _sink_lib = _LOAD_FAILED
         return None
     lib.fs_create.restype = ctypes.c_void_p
     lib.fs_create.argtypes = [ctypes.c_int, ctypes.c_int]

@@ -197,6 +197,8 @@ class SocketFrameSource:
         self.address = self._srv.getsockname()  # (host, actual_port)
         self._mailbox = LatestFrameSource()
         self._closing = False
+        self._conn = None  # active producer connection (for close())
+        self._conn_lock = threading.Lock()
         self._thread = threading.Thread(target=self._serve, daemon=True)
         self._thread.start()
 
@@ -210,8 +212,14 @@ class SocketFrameSource:
                 conn, _ = self._srv.accept()
             except OSError:
                 break  # listener closed
+            with self._conn_lock:
+                self._conn = conn
             with conn:
                 try:
+                    # drain to EOF even during close() (frames already
+                    # received must reach the slot); a producer that keeps
+                    # streaming past close() is cut off by the connection
+                    # shutdown in close() after its grace period
                     while True:
                         head = _recv_exact(conn, 6)
                         if head[:4] != _WIRE_MAGIC:
@@ -230,17 +238,50 @@ class SocketFrameSource:
                         self._mailbox.put(
                             np.frombuffer(payload, dtype).reshape(shape)
                         )
-                except EOFError:
-                    pass  # producer hung up; await the next connection
+                except (EOFError, OSError):
+                    pass  # producer hung up (or close() shut the socket)
+            with self._conn_lock:
+                self._conn = None
         self._mailbox.close()
 
     def close(self) -> None:
+        import socket as _socket
+        import warnings
+
         self._closing = True
+        # wake a serve thread parked in accept(): on Linux, closing the
+        # listener fd does not reliably unblock accept, so connect-and-close
+        # first (the serve loop sees _closing and exits immediately)
+        try:
+            with _socket.create_connection(self.address, timeout=1.0):
+                pass
+        except OSError:
+            pass
         try:
             self._srv.close()
         except OSError:
             pass
-        self._thread.join(timeout=5.0)
+        # grace period: a producer still streaming hits the per-frame
+        # _closing check, and an EOF already in flight drains — both exit on
+        # their own, keeping the "frames already received drain" contract
+        self._thread.join(timeout=1.0)
+        if self._thread.is_alive():
+            # serve thread is parked in conn.recv() on an idle-but-connected
+            # producer: shut the connection down under it
+            with self._conn_lock:
+                conn = self._conn
+            if conn is not None:
+                try:
+                    conn.shutdown(_socket.SHUT_RDWR)
+                except OSError:
+                    pass
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+            self._thread.join(timeout=4.0)
+        if self._thread.is_alive():
+            warnings.warn("SocketFrameSource serve thread did not exit in 5s")
         self._mailbox.close()
 
     def __iter__(self):

@@ -146,12 +146,17 @@ def main(argv=None):
             for p in paths:
                 yield cv2.imread(p, cv2.IMREAD_UNCHANGED)
 
-    n = runner.run(frames(), sink)
-    if pool is not None:
-        failures = pool.flush()
-        pool.close()
-        if failures:
-            raise SystemExit(f"{failures} output writes failed")
+    failures = 0
+    try:
+        n = runner.run(frames(), sink)
+    finally:
+        # flush/close even when the run or a sink raised: queued frames are
+        # written (not abandoned) and encode failures surface
+        if pool is not None:
+            failures = pool.flush()
+            pool.close()
+    if failures:
+        raise SystemExit(f"{failures} output writes failed")
     print(f"processed {n} frames -> {args.output_dir}")
 
 

@@ -249,3 +249,37 @@ def test_run_pipeline_directory_mode(tmp_path):
     img = cv2.imread(str(pngs[0]))
     assert img.shape == (64, 96, 3)
     assert (outdir / "camera_info.yaml").exists()
+
+
+def test_socket_source_close_unblocks_active_producer():
+    """Round-2 advisor finding: close() must shut down the ACTIVE producer
+    connection (not just the listener) so the serve thread blocked in
+    conn.recv() exits and iteration terminates."""
+    import socket
+
+    from raw_image_pipeline_tpu.runtime.sources import (
+        SocketFrameSource,
+        send_frame,
+    )
+
+    src = SocketFrameSource()
+    prod = socket.create_connection(src.address, timeout=5)
+    try:
+        send_frame(prod, np.full((2, 3), 7, np.uint8))
+        # give the serve thread time to park in recv() awaiting the next
+        # frame on this still-open connection
+        deadline = time.time() + 5
+        while src._conn is None and time.time() < deadline:
+            time.sleep(0.01)
+        assert src._conn is not None
+
+        t0 = time.time()
+        src.close()  # must not hang on the join
+        assert time.time() - t0 < 4.0
+        assert not src._thread.is_alive()
+        # and the consumer iteration terminates (frames already received
+        # drain first)
+        got = list(src)
+        assert len(got) <= 1
+    finally:
+        prod.close()

@@ -153,3 +153,24 @@ def test_stream_runner_microbatch(frames):
     assert got_a.keys() == got_b.keys()
     for k in got_a:
         np.testing.assert_array_equal(got_a[k], got_b[k])
+
+
+def test_stream_runner_stateful_microbatch_tail(frames):
+    """Round-2 advisor finding (medium): a stateful runner with microbatch
+    must survive a partial tail batch whose size is not a multiple of the
+    microbatch (7 frames, batch_size=4, microbatch=2 -> tail of 3), with
+    outputs and the carried Kalman track bitwise equal to the plain
+    stateful runner."""
+    h, w = frames[0].shape[:2]
+    got_a, got_b = {}, {}
+    plain = StreamRunner(_config(), "bayer_gbrg8", (h, w), batch_size=4)
+    micro = StreamRunner(_config(), "bayer_gbrg8", (h, w), batch_size=4,
+                         microbatch=2)
+    na = plain.run(iter(frames), lambda s, i, img: got_a.setdefault((s, i), img))
+    nb = micro.run(iter(frames), lambda s, i, img: got_b.setdefault((s, i), img))
+    assert na == nb == 7
+    assert got_a.keys() == got_b.keys()
+    for k in got_a:
+        np.testing.assert_array_equal(got_a[k], got_b[k])
+    np.testing.assert_array_equal(np.asarray(plain.state.x),
+                                  np.asarray(micro.state.x))
