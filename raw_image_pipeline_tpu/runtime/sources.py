@@ -261,9 +261,9 @@ class SocketFrameSource:
             self._srv.close()
         except OSError:
             pass
-        # grace period: a producer still streaming hits the per-frame
-        # _closing check, and an EOF already in flight drains — both exit on
-        # their own, keeping the "frames already received drain" contract
+        # grace period: an EOF already in flight drains on its own, keeping
+        # the "frames already received drain" contract; a producer still
+        # streaming (or idle) past it is cut off by the shutdown below
         self._thread.join(timeout=1.0)
         if self._thread.is_alive():
             # serve thread is parked in conn.recv() on an idle-but-connected

@@ -63,6 +63,12 @@ def main(argv=None):
                          "queue-size-1 drop-to-newest like the reference "
                          "node's subscription) instead of reading files; "
                          "requires --raw-shape for the frame geometry")
+    ap.add_argument("--control", default=None, metavar="HOST:PORT",
+                    help="with --listen: TCP line-protocol control channel "
+                         "(runtime.control.ControlServer) exposing the "
+                         "reference node's runtime services — "
+                         "reset_white_balance (~reset_white_balance) and "
+                         "reload_params [path] (dynamic reconfigure)")
     args = ap.parse_args(argv)
 
     if args.listen:
@@ -181,6 +187,26 @@ def _run_live(args):
     host, _, port = args.listen.partition(":")
     src = SocketFrameSource(host or "127.0.0.1", int(port or 0))
     print(f"listening on {src.address[0]}:{src.address[1]}", flush=True)
+
+    ctrl = None
+    if args.control:
+        from raw_image_pipeline_tpu.runtime.control import ControlServer
+
+        def _reload(path=None):
+            api.load_params(path or args.params)
+            return "params reloaded"
+
+        chost, _, cport = args.control.partition(":")
+        ctrl = ControlServer(
+            {
+                "reset_white_balance":
+                    api.reset_white_balance_temporal_consistency,
+                "reload_params": _reload,
+            },
+            chost or "127.0.0.1", int(cport or 0),
+        )
+        print(f"control on {ctrl.address[0]}:{ctrl.address[1]}", flush=True)
+
     n = 0
     try:
         for frame in src:
@@ -195,6 +221,8 @@ def _run_live(args):
     except KeyboardInterrupt:
         pass
     finally:
+        if ctrl is not None:
+            ctrl.close()
         src.close()
     print(f"processed {n} live frames ({src.dropped} dropped) "
           f"-> {args.output_dir}")

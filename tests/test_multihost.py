@@ -1,9 +1,14 @@
-"""2-process jax.distributed smoke test on the CPU backend.
+"""2-process jax.distributed ISP test on the CPU backend.
 
 Keeps the multi-host path honest without pod hardware: two OS processes
 initialize a coordinator, form a global device mesh (2 procs x 2 local CPU
-devices), distribute per-process frame batches into one global array, and
-run a jitted reduction over it (GSPMD inserts the cross-process collective).
+devices), each ingests only its LOCAL frame shard via distribute_batch,
+and the jitted FULL 9-stage chain (CCC WB + Kalman state + undistortion)
+runs on the global array — then every process asserts its addressable
+output shards are BITWISE equal to a locally-computed single-process run
+of the same batch. Reference runs everything in one process
+(raw_image_pipeline_ros.cpp); the multi-host design must be numerically
+invisible.
 """
 
 import os
@@ -42,6 +47,43 @@ total = jax.jit(lambda x: jnp.sum(x))(g)
 expected = (2 * 1 + 2 * 2) * 8 * 16
 got = int(jax.device_get(total))
 assert got == expected, (got, expected)
+
+# --- the real ISP on the global array ---------------------------------
+from jax.sharding import NamedSharding, PartitionSpec as P
+import __graft_entry__ as ge
+from raw_image_pipeline_tpu.pipeline import build_pipeline, init_state
+
+h, w = 112, 96
+config = ge._full_config((h, w), for_undistortion=True)
+pipe = build_pipeline(config, "bayer_gbrg8", frame_hw=(h, w),
+                      with_state=True, temporal_mode="cameras")
+
+# deterministic global batch; each process ingests only its own half
+rng = np.random.default_rng(42)
+frames_global = rng.integers(0, 256, (4, h, w), np.uint8)
+local = frames_global[pid * 2:(pid + 1) * 2]
+g = distribute_batch(local, mesh)
+
+state = init_state((4,))
+state_shard = jax.tree.map(lambda _: NamedSharding(mesh, P("data")), state)
+g_state = jax.tree.map(
+    lambda leaf, sh: jax.make_array_from_process_local_data(
+        sh, np.asarray(leaf)[pid * 2:(pid + 1) * 2]),
+    state, state_shard)
+
+fn = jax.jit(pipe.fn,
+             in_shardings=(None, NamedSharding(mesh, P("data")), state_shard))
+out, new_state = fn(pipe.params, g, g_state)
+jax.block_until_ready((out, new_state))
+
+# single-process reference of the same global batch, computed locally
+ref_out, ref_state = pipe.fn(pipe.params, frames_global, init_state((4,)))
+ref_img = np.asarray(ref_out["processed"])
+ref_x = np.asarray(ref_state.x)
+for shard in out["processed"].addressable_shards:
+    np.testing.assert_array_equal(np.asarray(shard.data), ref_img[shard.index])
+for shard in new_state.x.addressable_shards:
+    np.testing.assert_array_equal(np.asarray(shard.data), ref_x[shard.index])
 print(f"proc {pid} OK", flush=True)
 """
 
@@ -68,7 +110,7 @@ def test_two_process_distributed_smoke():
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=180)
+            out, err = p.communicate(timeout=420)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

@@ -60,6 +60,45 @@ def test_spatial_sharding_matches(frames):
     )
 
 
+def test_full_chain_spatial_sharding_matches():
+    """The FULL 9-stage chain (CCC WB incl. 65k-bin histogram, Kalman
+    temporal state, undistortion remap) bit-equal under space=4: the ops
+    where GSPMD must insert halo exchanges for the remap gather and psums
+    for the histogram are exactly the hard ones — reference computes these
+    single-device (convolutional_color_constancy.cpp:237-263,
+    modules/white_balance.cpp:89-102)."""
+    import __graft_entry__ as ge
+
+    h, w = 112, 96  # H divisible by space*2 (Bayer rows stay phase-aligned)
+    config = ge._full_config((h, w), for_undistortion=True)
+    pipe = build_pipeline(config, "bayer_gbrg8", frame_hw=(h, w),
+                          with_state=True, temporal_mode="cameras")
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, (2, h, w), np.uint8)
+    state = init_state((2,))
+    ref_out, ref_state = pipe.fn(pipe.params, frames, state)
+
+    mesh = make_mesh(space=4)
+    in_shard = NamedSharding(mesh, P("data", "space", None))
+    state_shard = jax.tree.map(
+        lambda _: NamedSharding(mesh, P("data")), state
+    )
+    fn = jax.jit(pipe.fn, in_shardings=(None, in_shard, state_shard))
+    out, new_state = fn(
+        pipe.params,
+        jax.device_put(frames, in_shard),
+        jax.device_put(state, state_shard),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["processed"]), np.asarray(ref_out["processed"])
+    )
+    np.testing.assert_array_equal(np.asarray(new_state.x), np.asarray(ref_state.x))
+    np.testing.assert_array_equal(
+        np.asarray(new_state.initialized), np.asarray(ref_state.initialized)
+    )
+
+
 def test_mesh_shapes():
     mesh = make_mesh(space=2)
     assert mesh.devices.shape == (4, 2)
