@@ -136,42 +136,310 @@ def balance_white_grey_world(image: jax.Array, thresh: float) -> jax.Array:
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
+# ---------------------------------------------------------------------------
+# PCA white balance — bit-exact replica of the reference's custom method
+# (white_balance.cpp:73-136), pinned against native/oracle/pca_oracle.cpp.
+#
+# Reference arithmetic, stage by stage:
+#   1. cv::sum on the u8->f32 channels / their squares: EXACT integer sums
+#     (every partial f32 add in OpenCV's 4-unrolled loop stays < 2^24
+#      before reaching the double accumulator) — verified vs oracle prints.
+#   2. The doubles are narrowed to f32 when filled into Eigen Matrix2f.
+#   3. Eigen compute_inverse_size2 in f32: invdet = 1/(s2*m - s*m2),
+#      adjugate * invdet, coefficient-wise 2x2 * 2x1 — plain rn mul/add
+#      (default catkin x86-64 build: no fp contraction) — orderings
+#      verified to reproduce the oracle's coefficient bits.
+#   4. MatExpr  x0*C2 + x1*C  evaluates via cv::addWeighted, whose AVX2
+#      32f kernel computes in DOUBLE (vfmadd132pd) and narrows once:
+#      out = rn_f32(x0*c^2 + x1*c) with the f64 value EXACT (<= 42
+#      significant bits), i.e. a single correct rounding of the exact
+#      real. Then THRESH_TRUNC at 255 and convertTo(CV_8U) = cvRound.
+#
+# TPU design: the per-pixel map depends only on c in [0,256), so the whole
+# apply is a per-frame 256-entry u8 LUT served by a select tree. The LUT
+# entries need rn_f32(x0*c^2 + x1*c) with the rounding of the EXACT value
+# — no f64 on TPU, so a small soft-float path computes it with exact
+# multi-word integer arithmetic in 12-bit limbs (256 entries/frame: cost
+# is noise). Sums are exact u32 split-accumulations recombined into the
+# correctly rounded f32 the reference's double->float narrowing produces.
+# ---------------------------------------------------------------------------
+
+
+def _twosum(a, b):
+    """Knuth TwoSum: s + e == a + b exactly, s = rn(a+b)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _rn_f32_split_u32(hi_sum, lo_sum):
+    """Correctly rounded f32 of the exact integer hi_sum*256 + lo_sum,
+    where hi_sum/lo_sum are exact u32 sums (the two halves of a split
+    accumulation). Decomposes into four f32-exact terms and recombines
+    with TwoSum + exact integer error accumulation."""
+    f32 = jnp.float32
+    hi = hi_sum
+    t1 = (hi >> 16).astype(f32) * f32(1 << 24)      # (hi>>16)*2^24, exact
+    t2 = (hi & 0xFFFF).astype(f32) * f32(1 << 8)    # < 2^24, exact
+    t3 = (lo_sum >> 16).astype(f32) * f32(1 << 16)  # exact
+    t4 = (lo_sum & 0xFFFF).astype(f32)              # exact
+    s, e1 = _twosum(t1, t3)
+    s, e2 = _twosum(s, t2)
+    s, e3 = _twosum(s, t4)
+    # errors are integers <= 3*2^15: their f32 sum is exact, and
+    # s + err == total exactly => one final rounding is correct
+    return s + ((e1 + e2) + e3)
+
+
+def _frexp_int24(x):
+    """x (f32) -> (sign, m, e) with x == sign * m * 2^(e-24), m a 24-bit
+    integer in [2^23, 2^24) (m = 0 for x == 0)."""
+    mant, e = jnp.frexp(x)
+    m = jnp.round(jnp.abs(mant) * jnp.float32(1 << 24)).astype(jnp.int32)
+    m = jnp.where(x == 0, 0, m)
+    e = jnp.where(x == 0, 0, e).astype(jnp.int32)
+    return jnp.sign(x).astype(jnp.float32), m, e
+
+
+_PCA_LIMBS = 11  # 132 bits: 41-bit product + <=79-bit align shift + carry
+
+
+def _limbs_from_pair(u, v):
+    """Exact limb vector (base 2^12, _PCA_LIMBS limbs) of v*2^12 + u for
+    i32 u, v < 2^28. Returns [..., L] i32 with limbs in [0, 2^12)."""
+    l0 = u & 0xFFF
+    l1 = ((u >> 12) & 0xFFF) + (v & 0xFFF)
+    l2 = (u >> 24) + ((v >> 12) & 0xFFF)
+    l3 = v >> 24
+    # carry-normalize (each pre-limb < 2^13)
+    c1 = l1 >> 12
+    l1 = l1 & 0xFFF
+    l2 = l2 + c1
+    c2 = l2 >> 12
+    l2 = l2 & 0xFFF
+    l3 = l3 + c2
+    zeros = jnp.zeros_like(l0)
+    limbs = [l0, l1, l2, l3] + [zeros] * (_PCA_LIMBS - 4)
+    return jnp.stack(limbs, axis=-1)
+
+
+def _shift_limbs_left(limbs, nbits):
+    """Shift the limb vector left by nbits (traced, per-element ok).
+    nbits must leave the value within _PCA_LIMBS limbs."""
+    k = nbits // 12
+    r = nbits % 12
+    idx = jnp.arange(_PCA_LIMBS)
+    src = idx - k[..., None]                       # [..., L]
+    srcc = jnp.clip(src, 0, _PCA_LIMBS - 1)
+    base = jnp.take_along_axis(limbs, srcc, axis=-1)
+    base = jnp.where(src >= 0, base, 0)
+    srcm1 = jnp.clip(src - 1, 0, _PCA_LIMBS - 1)
+    below = jnp.take_along_axis(limbs, srcm1, axis=-1)
+    below = jnp.where(src - 1 >= 0, below, 0)
+    r_ = r[..., None]
+    hi = (base << r_) & 0xFFF
+    lo = jnp.where(r_ > 0, below >> (12 - r_), 0)
+    return hi | lo
+
+
+def _limbs_cmp(a, b):
+    """Lexicographic magnitude compare: +1 if a>b, -1 if a<b, 0 equal."""
+    cmp = jnp.zeros(a.shape[:-1], jnp.int32)
+    for j in range(_PCA_LIMBS - 1, -1, -1):
+        sj = jnp.sign(a[..., j] - b[..., j])
+        cmp = jnp.where(cmp != 0, cmp, sj)
+    return cmp
+
+
+def _limbs_add(a, b):
+    out = []
+    carry = jnp.zeros(a.shape[:-1], jnp.int32)
+    for j in range(_PCA_LIMBS):
+        t = a[..., j] + b[..., j] + carry
+        out.append(t & 0xFFF)
+        carry = t >> 12
+    return jnp.stack(out, axis=-1)
+
+
+def _limbs_sub(a, b):
+    """a - b, requires a >= b."""
+    out = []
+    borrow = jnp.zeros(a.shape[:-1], jnp.int32)
+    for j in range(_PCA_LIMBS):
+        t = a[..., j] - b[..., j] - borrow
+        borrow = (t < 0).astype(jnp.int32)
+        out.append(t + (borrow << 12))
+    return jnp.stack(out, axis=-1)
+
+
+def _limbs_rn24(limbs, sticky_extra):
+    """Round the exact limb integer to a 24-bit mantissa, half-even.
+    Returns (mant f32 in [2^23, 2^24] or 0, exp2) with
+    value ~= mant * 2^exp2."""
+    # bit length of each limb via frexp (limbs < 2^12: exact)
+    _, bl = jnp.frexp(limbs.astype(jnp.float32))
+    bl = jnp.where(limbs > 0, bl, 0)
+    pos = jnp.arange(_PCA_LIMBS) * 12 + bl  # bits used up to this limb
+    msb = jnp.max(jnp.where(limbs > 0, pos, 0), axis=-1) - 1  # top bit index
+    is_zero = jnp.all(limbs == 0, axis=-1)
+
+    s = jnp.maximum(msb - 24, 0)  # q = floor(N / 2^s) keeps 25 bits
+    k = s // 12
+    r = s % 12
+    idx = jnp.arange(_PCA_LIMBS)
+    src = idx + k[..., None]
+    srcc = jnp.clip(src, 0, _PCA_LIMBS - 1)
+    base = jnp.take_along_axis(limbs, srcc, axis=-1)
+    base = jnp.where(src <= _PCA_LIMBS - 1, base, 0)
+    srcp1 = jnp.clip(src + 1, 0, _PCA_LIMBS - 1)
+    above = jnp.take_along_axis(limbs, srcp1, axis=-1)
+    above = jnp.where(src + 1 <= _PCA_LIMBS - 1, above, 0)
+    r_ = r[..., None]
+    shifted = (base >> r_) | jnp.where(r_ > 0, (above << (12 - r_)) & 0xFFF, 0)
+    # q from the low three shifted limbs (<= 25 significant bits)
+    q = shifted[..., 0] + (shifted[..., 1] << 12) + (shifted[..., 2] << 24)
+    # sticky: any bit below position s
+    below_mask = idx < k[..., None]
+    lost_limbs = jnp.any(jnp.where(below_mask, limbs, 0) > 0, axis=-1)
+    in_limb = jnp.take_along_axis(
+        limbs, jnp.clip(k, 0, _PCA_LIMBS - 1)[..., None], axis=-1
+    )[..., 0]
+    lost_bits = jnp.where(r > 0, in_limb & ((1 << r) - 1), 0) > 0
+    sticky = lost_limbs | lost_bits | sticky_extra
+
+    guard = (q & 1).astype(bool)
+    q24 = q >> 1
+    # when msb < 24, s = 0 and q == N << 1? no: s = 0 -> q = N, guard is N's
+    # lsb — wrong. Handle small values: if msb <= 23 the value already fits
+    # 24 bits: mantissa = N, no rounding.
+    small = msb <= 23
+    round_up = guard & (sticky | ((q24 & 1).astype(bool)))
+    q_rounded = q24 + round_up.astype(jnp.int32)
+    overflowed = q_rounded == (1 << 24)
+    q_rounded = jnp.where(overflowed, 1 << 23, q_rounded)
+    exp_big = jnp.where(overflowed, msb - 22, msb - 23)
+
+    n_small = q  # s==0: q == N (full value, <= 2^25? msb<=23 -> N < 2^24)
+    mant = jnp.where(small, n_small, q_rounded).astype(jnp.float32)
+    exp2 = jnp.where(small, 0, exp_big)
+    mant = jnp.where(is_zero, 0.0, mant)
+    return mant, exp2
+
+
+def _pca_exact_lut(x0, x1):
+    """256-entry u8 LUT of c -> cvRound(min(rn_f32(x0*c^2 + x1*c), 255))
+    with rn_f32 of the EXACT real value (the oracle's f64-fma-then-narrow
+    semantics), computed with exact integer limb arithmetic.
+
+    x0, x1: f32 scalars with leading batch dims [...]. Returns [..., 256]
+    uint8."""
+    c = jnp.arange(256, dtype=jnp.int32)
+    c2 = c * c
+    sg0, m0, e0 = _frexp_int24(x0)
+    sg1, m1, e1 = _frexp_int24(x1)
+    # exact products as i32 pairs (value = v*2^12 + u)
+    uA = (m0[..., None] & 0xFFF) * c2     # < 2^28
+    vA = (m0[..., None] >> 12) * c2       # < 2^28
+    uB = (m1[..., None] & 0xFFF) * c      # < 2^20
+    vB = (m1[..., None] >> 12) * c        # < 2^20
+    A = _limbs_from_pair(uA, vA)          # scale 2^(e0-24)
+    B = _limbs_from_pair(uB, vB)          # scale 2^(e1-24)
+
+    emin = jnp.minimum(e0, e1)
+    dA = (e0 - emin)[..., None] * jnp.ones_like(c)  # broadcast [..., 256]
+    dB = (e1 - emin)[..., None] * jnp.ones_like(c)
+    # cap the alignment shift: beyond 79 bits the small term only matters
+    # as a sticky bit (relative gap > 48 bits >> the 25-bit round window)
+    cap = 12 * _PCA_LIMBS - 41 - 2
+    a_nonzero = jnp.any(A > 0, axis=-1)
+    b_nonzero = jnp.any(B > 0, axis=-1)
+    sticky_extra = ((dA > cap) & b_nonzero) | ((dB > cap) & a_nonzero)
+    # when the shift is capped, drop the now-insignificant small term
+    B = jnp.where(((dA > cap) & b_nonzero)[..., None], 0, B)
+    A = jnp.where(((dB > cap) & a_nonzero)[..., None], 0, A)
+    A = _shift_limbs_left(A, jnp.minimum(dA, cap))
+    B = _shift_limbs_left(B, jnp.minimum(dB, cap))
+
+    sg0 = (sg0[..., None] * jnp.ones_like(c, jnp.float32))  # [..., 256]
+    sg1 = (sg1[..., None] * jnp.ones_like(c, jnp.float32))
+    same_sign = (sg0 * sg1 >= 0) | (~a_nonzero) | (~b_nonzero)
+    total_add = _limbs_add(A, B)
+    cmp = _limbs_cmp(A, B)
+    big = jnp.where((cmp >= 0)[..., None], A, B)
+    small = jnp.where((cmp >= 0)[..., None], B, A)
+    total_sub = _limbs_sub(big, small)
+    total = jnp.where(same_sign[..., None], total_add, total_sub)
+    # result sign: dominant term's sign (a-term sign where |A|>=|B|)
+    sgA = jnp.where(a_nonzero, sg0, sg1)  # A zero -> B's sign
+    sgB = jnp.where(b_nonzero, sg1, sg0)
+    sign = jnp.where(same_sign,
+                     jnp.where(a_nonzero, sg0, sg1),
+                     jnp.where(cmp >= 0, sgA, sgB))
+
+    mant, exp2 = _limbs_rn24(total, sticky_extra)
+    val = sign * jnp.ldexp(mant, exp2 + (emin[..., None] - 24))
+    val = jnp.minimum(val.astype(jnp.float32), jnp.float32(255.0))
+    return round_u8(val)
+
+
+def _lut_select_batched(idx, table):
+    """Per-frame 256-entry u8 LUT served by a binary select tree (no
+    gather): idx [..., H, W] int32, table [..., 256] -> [..., H, W]."""
+    cur = [table[..., i][..., None, None] for i in range(256)]
+    level = 0
+    while len(cur) > 1:
+        b = (idx >> level) & 1
+        cur = [jnp.where(b == 0, cur[i], cur[i + 1])
+               for i in range(0, len(cur), 2)]
+        level += 1
+    return cur[0]
+
+
 @jax.jit
 def balance_white_pca(image: jax.Array) -> jax.Array:
-    """Exact replica of the reference PCA method (white_balance.cpp:73-136).
+    """Bit-exact replica of the reference PCA method
+    (white_balance.cpp:73-136) — see the block comment above for the
+    reference-arithmetic derivation and native/oracle/pca_oracle.cpp for
+    the pinning oracle. Exact for frames up to 16.8 MP (u32 split sums).
 
-    Per frame, for C in {B, R} vs G:
-        [sum(C^2)  sum(C); max(C^2)  max(C)] @ x = [sum(G); max(G)]
-        C' = trunc255(x0*C^2 + x1*C), round to u8.
-    The reference sums with cv::sum (double accumulator); we use float32
-    data with jnp's tree reductions — gain deltas are ~1e-6 relative,
-    well under 1 LSB on the output.
-    """
-    x = image.astype(jnp.float32)
-    b, g, r = x[..., 0], x[..., 1], x[..., 2]
-    b2 = b * b
-    r2 = r * r
-    red = lambda c: jnp.sum(c, axis=(-2, -1))
-    mxd = lambda c: jnp.max(c, axis=(-2, -1))
-    sg, mg = red(g), mxd(g)
+    Degenerate frames where det == 0 (a constant channel) divide by zero
+    exactly as the reference does; the resulting inf/NaN gains are UB
+    there and here alike."""
+    f32 = jnp.float32
+    u32 = jnp.uint32
+    v = image.astype(jnp.int32)
+    b, g, r = v[..., 0], v[..., 1], v[..., 2]
 
-    def solve(c, c2):
-        # x = inv([[s2, s], [m2, m]]) @ [sg, mg]
-        s2, s, m2, m = red(c2), red(c), mxd(c2), mxd(c)
+    def reductions(c):
+        c2 = c * c
+        hi = jnp.sum((c2 >> 8).astype(u32), axis=(-2, -1))
+        lo = jnp.sum((c2 & 255).astype(u32), axis=(-2, -1))
+        s2 = _rn_f32_split_u32(hi, lo)              # rn_f32(sum c^2)
+        s = jnp.sum(c.astype(u32), axis=(-2, -1)).astype(f32)
+        m = jnp.max(c, axis=(-2, -1)).astype(f32)
+        return s2, s, m * m, m                      # m2 = m^2 exact
+
+    def solve(c):
+        # Eigen compute_inverse_size2 orderings, verified vs the oracle
+        s2, s, m2, m = reductions(c)
         det = s2 * m - s * m2
-        x0 = (m * sg - s * mg) / det
-        x1 = (-m2 * sg + s2 * mg) / det
+        invdet = f32(1.0) / det
+        i00 = m * invdet
+        i01 = -(s * invdet)
+        i10 = -(m2 * invdet)
+        i11 = s2 * invdet
+        x0 = i00 * sg + i01 * mg
+        x1 = i10 * sg + i11 * mg
         return x0, x1
 
-    b_x0, b_x1 = solve(b, b2)
-    r_x0, r_x1 = solve(r, r2)
-    bb = b_x0[..., None, None] * b2 + b_x1[..., None, None] * b
-    rr = r_x0[..., None, None] * r2 + r_x1[..., None, None] * r
-    # THRESH_TRUNC at 255 then convertTo(CV_8U) = cvRound + saturate
-    bb = jnp.minimum(bb, 255.0)
-    rr = jnp.minimum(rr, 255.0)
-    out = jnp.stack([bb, g, rr], axis=-1)
-    return round_u8(out)
+    sg = jnp.sum(g.astype(u32), axis=(-2, -1)).astype(f32)
+    mg = jnp.max(g, axis=(-2, -1)).astype(f32)
+    lut_b = _pca_exact_lut(*solve(b))
+    lut_r = _pca_exact_lut(*solve(r))
+    bb = _lut_select_batched(b, lut_b)
+    rr = _lut_select_batched(r, lut_r)
+    return jnp.stack([bb, g.astype(jnp.uint8), rr], axis=-1)
 
 
 def balance_white_learned(image: jax.Array, thresh: float) -> jax.Array:

@@ -8,6 +8,7 @@ import cv2
 HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.join(HERE, "..", "..", "..")
 ORACLE = os.path.join(ROOT, "native", "oracle", "xphoto_oracle")
+PCA_ORACLE = os.path.join(ROOT, "native", "oracle", "pca_oracle")
 
 def run(src, dst, method, arg):
     subprocess.run([ORACLE, src, dst, method, str(arg)], check=True)
@@ -30,6 +31,23 @@ def main():
         for p in (2.0, 10.0, 20.0, 35.0):
             run(path, os.path.join(HERE, f"{name}_simple_{p}.png"), "simple", p)
         run(path, os.path.join(HERE, f"{name}_learned_0.8.png"), "learned", 0.8)
+        # reference's custom PCA method (native/oracle/pca_oracle.cpp)
+        subprocess.run(
+            [PCA_ORACLE, path, os.path.join(HERE, f"{name}_pca.png")],
+            check=True,
+        )
+    # extra PCA stress inputs: skewed distributions exercise the solve's
+    # coefficient dynamic range
+    lo = rng.integers(0, 30, (64, 96, 3)).astype(np.uint8)
+    cv2.imwrite(os.path.join(HERE, "pca_lo.png"), lo)
+    hi = rng.integers(200, 256, (57, 83, 3)).astype(np.uint8)
+    cv2.imwrite(os.path.join(HERE, "pca_hi.png"), hi)
+    for name in ("pca_lo", "pca_hi"):
+        subprocess.run(
+            [PCA_ORACLE, os.path.join(HERE, f"{name}.png"),
+             os.path.join(HERE, f"{name}_pca.png")],
+            check=True,
+        )
     print("done")
 
 if __name__ == "__main__":
