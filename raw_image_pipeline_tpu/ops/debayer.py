@@ -9,15 +9,16 @@ Two algorithms, matching the reference's two backends:
     the adjacent computed row/column (verified empirically against cv2).
   * ``mht`` — Malvar-He-Cutler 5x5 linear demosaic, the algorithm of the
     reference GPU path (``cv::cuda::demosaicing(..., *_MHT)``,
-    modules/debayer.cpp:89-120). The interior is bit-identical to the
-    MHC'04 paper stencils evaluated in floats + round-half-even, asserted
-    against an INDEPENDENT pure-numpy float oracle written from the paper
+    modules/debayer.cpp:89-120). Bit-identical to the MHC'04 paper
+    stencils evaluated in floats + round-half-even over a CLAMP-TO-EDGE
+    mosaic (the CUDA kernel's ``cudaAddressModeClamp`` texture reads),
+    asserted full-frame including the 2-px border ring against an
+    INDEPENDENT pure-numpy float oracle written from the paper
     (tests/test_debayer.py::test_mht_matches_independent_paper_oracle).
-    The CUDA kernel itself (McGuire GPU formulation of the same stencils,
-    float arithmetic, saturate_cast rounding) is not runnable on TPU
-    hosts, so its exact border convention and .5-tie rounding are not
-    asserted; the 2-px border ring here replicates the outermost computed
-    ring.
+    The CUDA kernel itself is not runnable on TPU hosts; see
+    debayer_mht's docstring for the border-convention derivation and the
+    one residual caveat (outermost 1-px ring is unwritten/undefined in
+    some opencv_contrib versions).
 
 Phase convention: OpenCV's COLOR_BayerXX2BGR codes define the CFA phase from
 pixel (1,1), so e.g. ``bayer_bggr8`` (ROS: top-left pixel Blue) maps to a
@@ -75,10 +76,12 @@ def phase_for_encoding(encoding: str) -> str:
     return _CV_PHASE[ENCODING_TO_CV_CODE[encoding]]
 
 
-def _site_masks(h: int, w: int, phase: str):
-    """Boolean masks (h, w) for R / G-in-R-row / G-in-B-row / B sample sites."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) & 1
-    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) & 1
+def _site_masks(h: int, w: int, phase: str, row_off: int = 0, col_off: int = 0):
+    """Boolean masks (h, w) for R / G-in-R-row / G-in-B-row / B sample sites.
+    row_off/col_off shift the parity (for border strips computed on slabs
+    whose first output pixel is not the frame's (0,0))."""
+    row = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + row_off) & 1
+    col = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + col_off) & 1
     # even-even, even-odd, odd-even, odd-odd selectors
     ee = (row == 0) & (col == 0)
     eo = (row == 0) & (col == 1)
@@ -154,24 +157,19 @@ def debayer_bilinear(bayer: jax.Array, phase: str) -> jax.Array:
     return _replicate_border(out)
 
 
-@partial(jax.jit, static_argnames=("phase",))
-def debayer_mht(bayer: jax.Array, phase: str) -> jax.Array:
-    """Malvar-He-Cutler 5x5 linear demosaic (reference GPU algorithm).
+def _mht_core(p, h, w, phase, row_off=0, col_off=0, sy=0, sx=0):
+    """MHC'04 stencil over a pre-padded buffer p (any border semantics):
+    output window is h x w starting at padded position (2+sy, 2+sx);
+    row_off/col_off give the window's global parity for the site masks.
 
     Integer arithmetic: filters scaled by 16 (so the paper's 1/2 and 3/2
     coefficients are integers), descale by 4 bits with round-half-even —
     bit-identical to the float paper stencils + rint (asserted against an
-    independent numpy oracle). Border: 2-px zero padding then replication
-    of the outermost computed ring (approximation of the CUDA kernel's
-    border handling; interior is the exact MHC'04 stencil).
-    """
-    h, w = bayer.shape[-2], bayer.shape[-1]
-    x = bayer.astype(jnp.int32)
-    # pad in u8, widen the views (see _shifts)
-    p = jnp.pad(bayer, [(0, 0)] * (bayer.ndim - 2) + [(2, 2), (2, 2)])
+    independent numpy oracle)."""
 
     def sh(dy, dx):
-        return p[..., 2 + dy: 2 + dy + h, 2 + dx: 2 + dx + w].astype(jnp.int32)
+        return p[..., 2 + sy + dy: 2 + sy + dy + h,
+                 2 + sx + dx: 2 + sx + dx + w].astype(jnp.int32)
 
     c = sh(0, 0)
     n1, s1, w1, e1 = sh(-1, 0), sh(1, 0), sh(0, -1), sh(0, 1)
@@ -182,10 +180,6 @@ def debayer_mht(bayer: jax.Array, phase: str) -> jax.Array:
     diag4 = nw + ne_ + sw + se_         # 4 corner neighbors
     axial4 = n2 + s2 + w2 + e2          # 4 two-step axial
 
-    # MHC'04 filters scaled by 16 so every paper coefficient (including the
-    # 1/2 and 3/2 terms) is an exact integer — bit-identical to the
-    # float-valued paper stencils + round-half-even (the independent numpy
-    # oracle in tests/test_debayer.py asserts interior equality):
     # G at R/B site:            (8c + 4*cross4 - 2*axial4) / 16
     g_at_rb = 8 * c + 4 * cross4 - 2 * axial4
     # R/B at G, estimate along the row (same-row chroma neighbors):
@@ -200,7 +194,7 @@ def debayer_mht(bayer: jax.Array, phase: str) -> jax.Array:
         q = (v + 8) >> 4
         return q - (((v & 15) == 8) & ((q & 1) == 1)).astype(v.dtype)
 
-    r_site, g_r_row, g_b_row, b_site = _site_masks(h, w, phase)
+    r_site, g_r_row, g_b_row, b_site = _site_masks(h, w, phase, row_off, col_off)
     g_site = g_r_row | g_b_row
 
     g = jnp.where(g_site, c, desc8(g_at_rb))
@@ -214,20 +208,61 @@ def debayer_mht(bayer: jax.Array, phase: str) -> jax.Array:
         jnp.where(g_b_row, desc8(rb_at_g_h),
                   jnp.where(g_r_row, desc8(rb_at_g_v), desc8(rb_at_br))),
     )
+    return saturate_u8(jnp.stack([b, g, r], axis=-1))
 
-    # border ring replication after the u8 saturate (same result, half the
-    # dynamic-update-slice traffic — see debayer_bilinear)
-    out = saturate_u8(jnp.stack([b, g, r], axis=-1))
-    # 2-px border ring: rows/cols 0 and 1 take the first fully-computed
-    # row/col (index 2), and symmetrically at the far edge.
-    out = out.at[..., 0, :, :].set(out[..., 2, :, :])
-    out = out.at[..., 1, :, :].set(out[..., 2, :, :])
-    out = out.at[..., -1, :, :].set(out[..., -3, :, :])
-    out = out.at[..., -2, :, :].set(out[..., -3, :, :])
-    out = out.at[..., :, 0, :].set(out[..., :, 2, :])
-    out = out.at[..., :, 1, :].set(out[..., :, 2, :])
-    out = out.at[..., :, -1, :].set(out[..., :, -3, :])
-    out = out.at[..., :, -2, :].set(out[..., :, -3, :])
+
+def _edge_pad2(a):
+    """Pad 2 px on every side by edge replication (concat form — lowers
+    better than jnp.pad(mode='edge') on TPU, and only runs on tiny slabs)."""
+    a = jnp.concatenate(
+        [a[..., :1, :], a[..., :1, :], a, a[..., -1:, :], a[..., -1:, :]],
+        axis=-2,
+    )
+    a = jnp.concatenate(
+        [a[..., :, :1], a[..., :, :1], a, a[..., :, -1:], a[..., :, -1:]],
+        axis=-1,
+    )
+    return a
+
+
+@partial(jax.jit, static_argnames=("phase",))
+def debayer_mht(bayer: jax.Array, phase: str) -> jax.Array:
+    """Malvar-He-Cutler 5x5 linear demosaic (reference GPU algorithm,
+    ``cv::cuda::demosaicing(..., *_MHT)``, modules/debayer.cpp:89-120).
+
+    Border: the CUDA kernel (opencv_contrib debayer.cu, McGuire's port of
+    the MHC shader) reads the mosaic through a texture with
+    ``cudaAddressModeClamp`` — out-of-bounds taps clamp to the edge sample
+    of the raw mosaic (which flips their Bayer parity; that color bleed is
+    the reference's own border behavior, reproduced here). The full 5x5
+    stencil is therefore evaluated at every pixel over a clamp-to-edge
+    mosaic: the interior (fast path) pads with zeros and the 2-px ring is
+    overwritten from clamp-padded border slabs. Note some opencv_contrib
+    versions skip writing the outermost 1-px ring entirely (leaving
+    whatever was in the freshly-allocated GpuMat — undefined); the
+    clamp-stencil value produced here is the deterministic value consistent
+    with the kernel's own texture addressing.
+    """
+    h, w = bayer.shape[-2], bayer.shape[-1]
+    if h < 4 or w < 4:  # degenerate frames: clamp-pad the whole mosaic
+        return _mht_core(_edge_pad2(bayer), h, w, phase)
+
+    p0 = jnp.pad(bayer, [(0, 0)] * (bayer.ndim - 2) + [(2, 2), (2, 2)])
+    out = _mht_core(p0, h, w, phase)
+
+    # clamp-exact 2-px border strips (slab cost is negligible; the corner
+    # values agree between the row and column strips — both are the full
+    # clamp stencil)
+    top = _mht_core(_edge_pad2(bayer[..., 0:4, :]), 2, w, phase)
+    bot = _mht_core(_edge_pad2(bayer[..., h - 4:h, :]), 2, w, phase,
+                    row_off=h - 2, sy=2)
+    left = _mht_core(_edge_pad2(bayer[..., :, 0:4]), h, 2, phase)
+    right = _mht_core(_edge_pad2(bayer[..., :, w - 4:w]), h, 2, phase,
+                      col_off=w - 2, sx=2)
+    out = out.at[..., 0:2, :, :].set(top)
+    out = out.at[..., h - 2:h, :, :].set(bot)
+    out = out.at[..., :, 0:2, :].set(left)
+    out = out.at[..., :, w - 2:w, :].set(right)
     return out
 
 

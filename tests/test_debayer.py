@@ -95,10 +95,11 @@ def _mhc_paper_oracle(raw: np.ndarray, phase: str) -> np.ndarray:
     (all coefficients /8): G@R/B: {4c, 2*cross1, -1*axial2}; R/B@G along
     the chroma row: {5c, 4*row1, -1*diag, -1*row2, +0.5*col2}; R@B/B@R:
     {6c, 2*diag, -1.5*axial2}. Returns float stencil values rounded
-    half-even (BGR). Border ring (2px) is left as the raw value and is not
-    compared."""
+    half-even (BGR). Border taps CLAMP to the edge sample (the CUDA
+    kernel's cudaAddressModeClamp texture addressing), so the full frame
+    including the 2-px ring is compared."""
     h, w = raw.shape
-    x = np.pad(raw.astype(np.float64), 2)
+    x = np.pad(raw.astype(np.float64), 2, mode="edge")
 
     def sh(dy, dx):
         return x[2 + dy: 2 + dy + h, 2 + dx: 2 + dx + w]
@@ -147,13 +148,15 @@ def _mhc_paper_oracle(raw: np.ndarray, phase: str) -> np.ndarray:
 
 @pytest.mark.parametrize("phase", ["rggb", "grbg", "gbrg", "bggr"])
 def test_mht_matches_independent_paper_oracle(phase):
-    """Interior of debayer_mht is bit-identical to the float MHC'04 paper
-    stencils + round-half-even, via an independently-written numpy oracle."""
+    """debayer_mht is bit-identical to the float MHC'04 paper stencils +
+    round-half-even over a clamp-to-edge mosaic, FULL FRAME including the
+    2-px border ring, via an independently-written numpy oracle."""
     rng = np.random.default_rng(17)
-    raw = rng.integers(0, 256, (64, 96), np.uint8)
-    ours = np.asarray(debayer_mht(raw, phase))
-    golden = _mhc_paper_oracle(raw, phase)
-    np.testing.assert_array_equal(ours[2:-2, 2:-2], golden[2:-2, 2:-2])
+    for shape in ((64, 96), (10, 12), (5, 7), (3, 3)):
+        raw = rng.integers(0, 256, shape, np.uint8)
+        ours = np.asarray(debayer_mht(raw, phase))
+        golden = _mhc_paper_oracle(raw, phase)
+        np.testing.assert_array_equal(ours, golden)
 
 
 @pytest.mark.parametrize("algorithm", ["bilinear", "mht"])
