@@ -1,19 +1,35 @@
-"""cv2-compatible INTER_LINEAR resize for uint8 images.
+"""cv2-compatible INTER_LINEAR resize for uint8 images — bit-exact at ANY
+scale ratio.
 
-Replicates OpenCV's fixed-point bilinear resize (imgproc resize.cpp):
-source coordinate fx = (dst_x + 0.5) * src/dst - 0.5, 11-bit quantized
-weights (INTER_RESIZE_COEF_SCALE = 2048), horizontal then vertical pass,
-final descale (x + 2^21) >> 22 with saturation.
+Replicates OpenCV's 8u fixed-point bilinear resize (imgproc resize.cpp)
+semantics exactly:
 
-Parity (measured vs cv2 5.0, tests/test_ccc.py):
-  * bit-exact for integer scale ratios — in particular the CCC working
-    resizes 720x540 -> 360x270 and 1440x1080 -> 360x270
-    (reference: convolutional_color_constancy.cpp:22,97);
-  * within 1 LSB (~11% of pixels) for non-integer ratios, where OpenCV's
-    float coefficient rounding differs.
+  * source coordinate ``fx = (float)((dx+0.5)*scale_x - 0.5)`` — the
+    product/subtract run in double and are then narrowed to FLOAT;
+    ``sx = cvFloor(fx); fx -= sx`` in float;
+  * border overrides: ``sx < 0 -> sx=0, fx=0``;
+    ``sx >= src-1 -> sx=src-1, fx=0`` (second tap weight 0);
+  * the two 11-bit coefficients are quantized INDEPENDENTLY —
+    ``a0 = cvRound((1.f-fx)*2048.f)``, ``a1 = cvRound(fx*2048.f)`` (both
+    float multiplies, half-even rounding); their sum is 2047/2048/2049,
+    not always 2048;
+  * horizontal pass accumulates ``S[sx]*a0 + S[sx+1]*a1`` in int32 with NO
+    descale; the 8u vertical pass is OpenCV's specialized truncating form
+    ``uchar((((b0*(S0>>4)) >> 16) + ((b1*(S1>>4)) >> 16) + 2) >> 2)``
+    (VResizeLinear<uchar,...> specialization; its SIMD mul-hi path computes
+    the same values).
+
+Because of the truncating shifts the passes do NOT commute, so the
+horizontal pass runs first like OpenCV's. Parity: bit-exact vs cv2 for
+integer AND non-integer ratios (tests/test_resize_exact.py sweeps odd
+sizes both ways).
 
 Index/weight tables are built on host at trace time (static shapes), so the
 device code is two gathers + integer multiply-adds that XLA fuses.
+
+Reference use: the CCC working resize (convolutional_color_constancy.cpp:95)
+feeds the histogram from a 360x270 INTER_LINEAR downsample of any camera
+size.
 """
 
 from __future__ import annotations
@@ -25,43 +41,79 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _tables(src: int, dst: int):
-    scale = src / dst
-    x = np.arange(dst)
-    fx = (x + 0.5) * scale - 0.5
-    sx = np.floor(fx).astype(np.int64)
-    f = fx - sx
-    # edge clamping: left edge -> weight fully on pixel 0; right edge ->
-    # weight fully on the last pixel
-    f = np.where(sx < 0, 0.0, f)
-    f = np.where(sx >= src - 1, 1.0 if src > 1 else 0.0, f)
-    sx = np.clip(sx, 0, max(src - 2, 0))
-    a1 = np.rint(f * 2048.0).astype(np.int32)
-    a0 = 2048 - a1
-    return sx, a0, a1
+def _coords(src: int, dst: int):
+    """fx/sx per OpenCV resize.cpp: scale = 1/(dst/src) in double,
+    fx = (float)((dx+0.5)*scale - 0.5), sx = cvFloor(fx), fx -= sx."""
+    scale = 1.0 / (dst / src)                          # 1./inv_scale, double
+    x = np.arange(dst, dtype=np.float64)
+    fxf = ((x + 0.5) * scale - 0.5).astype(np.float32)  # (float) cast
+    sx = np.floor(fxf).astype(np.int64)                # cvFloor of the float
+    f = (fxf - sx.astype(np.float32)).astype(np.float32)  # fx -= sx (float)
+    return sx, f
+
+
+def _quant(f):
+    """saturate_cast<short>((1.f-fx)*2048.f), saturate_cast<short>(fx*2048.f):
+    both products in f32, cvRound = half-even; quantized INDEPENDENTLY (the
+    pair sums to 2047/2048/2049, not always 2048)."""
+    a1 = np.rint(f * np.float32(2048.0)).astype(np.int32)
+    a0 = np.rint((np.float32(1.0) - f) * np.float32(2048.0)).astype(np.int32)
+    return a0, a1
+
+
+def _tables_x(src: int, dst: int):
+    """Horizontal tables: OpenCV overrides the border coefficients
+    (sx < 0 -> sx=0, fx=0; sx >= src-1 -> sx=src-1, fx=0)."""
+    sx, f = _coords(src, dst)
+    left = sx < 0
+    f = np.where(left, np.float32(0.0), f)
+    sx = np.where(left, 0, sx)
+    right = sx >= src - 1
+    f = np.where(right, np.float32(0.0), f)
+    sx = np.where(right, src - 1, sx)
+    a0, a1 = _quant(f)
+    sx2 = np.minimum(sx + 1, src - 1)  # weight-0 tap at the right border
+    return sx.astype(np.int32), sx2.astype(np.int32), a0, a1
+
+
+def _tables_y(src: int, dst: int):
+    """Vertical tables: NO coefficient override — resizeGeneric_ clamps the
+    row POINTERS (srows[k] = ptr(clip(sy+k))) but keeps the raw quantized
+    (1-fy, fy) weights, so an upsample's first/last rows blend the edge row
+    with itself using fy's unclamped fractional part (fy can come from a
+    negative coordinate). Reproducing that asymmetry is what makes upsample
+    border rows bit-exact."""
+    sy, f = _coords(src, dst)
+    b0, b1 = _quant(f)
+    sy0 = np.clip(sy, 0, src - 1)
+    sy1 = np.clip(sy + 1, 0, src - 1)
+    return sy0.astype(np.int32), sy1.astype(np.int32), b0, b1
 
 
 @partial(jax.jit, static_argnames=("dst_h", "dst_w"))
 def resize_linear_u8(image: jax.Array, dst_h: int, dst_w: int) -> jax.Array:
     """image: [..., H, W, C] uint8 -> [..., dst_h, dst_w, C] uint8."""
     src_h, src_w = image.shape[-3], image.shape[-2]
-    sx, a0, a1 = _tables(src_w, dst_w)
-    sy, b0, b1 = _tables(src_h, dst_h)
+    sx, sx2, a0, a1 = _tables_x(src_w, dst_w)
+    sy, sy2, b0, b1 = _tables_y(src_h, dst_h)
 
-    # vertical pass first: both passes are exact int32 arithmetic with no
-    # intermediate descale, so the sum order commutes bit-identically with
-    # OpenCV's horizontal-then-vertical — and downsampling rows first means
-    # the second pass touches dst_h/src_h as much data. Gathers fetch u8
-    # rows and widen after.
-    v = (
-        jnp.take(image, jnp.asarray(sy), axis=-3).astype(jnp.int32)
-        * jnp.asarray(b0)[:, None, None]
-        + jnp.take(image, jnp.asarray(sy + 1), axis=-3).astype(jnp.int32)
-        * jnp.asarray(b1)[:, None, None]
+    # horizontal pass first (OpenCV order — the truncating vertical shifts
+    # do not commute). Gathers fetch u8 columns and widen after.
+    hbuf = (
+        jnp.take(image, jnp.asarray(sx), axis=-2).astype(jnp.int32)
+        * jnp.asarray(a0)[:, None]
+        + jnp.take(image, jnp.asarray(sx2), axis=-2).astype(jnp.int32)
+        * jnp.asarray(a1)[:, None]
     )
-    # horizontal pass: total scale 2^22, descale with rounding
-    h = (
-        jnp.take(v, jnp.asarray(sx), axis=-2) * jnp.asarray(a0)[:, None]
-        + jnp.take(v, jnp.asarray(sx + 1), axis=-2) * jnp.asarray(a1)[:, None]
-    )
-    return jnp.clip((h + (1 << 21)) >> 22, 0, 255).astype(jnp.uint8)
+    # vertical: OpenCV's 8u specialization (truncating shifts; all values
+    # non-negative so >> is floor division, matching C++)
+    s0 = jnp.take(hbuf, jnp.asarray(sy), axis=-3) >> 4
+    s1 = jnp.take(hbuf, jnp.asarray(sy2), axis=-3) >> 4
+    acc = (
+        ((jnp.asarray(b0)[:, None, None] * s0) >> 16)
+        + ((jnp.asarray(b1)[:, None, None] * s1) >> 16)
+        + 2
+    ) >> 2
+    # the arithmetic cannot exceed 255 (see VResizeLinear's raw uchar cast);
+    # clip is a semantic no-op kept as a guard
+    return jnp.clip(acc, 0, 255).astype(jnp.uint8)
