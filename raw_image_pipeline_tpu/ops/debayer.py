@@ -112,11 +112,19 @@ def _shifts(x):
 
 def _replicate_border(img):
     """Replace output border rows/cols with the adjacent computed ones,
-    as cv::demosaicing does (verified empirically)."""
-    img = img.at[..., 0, :, :].set(img[..., 1, :, :])
-    img = img.at[..., -1, :, :].set(img[..., -2, :, :])
-    img = img.at[..., :, 0, :].set(img[..., :, 1, :])
-    img = img.at[..., :, -1, :].set(img[..., :, -2, :])
+    as cv::demosaicing does (verified empirically).
+
+    Concat form: each .at[].set dynamic-update-slice re-materialized the
+    whole [B,H,W,3] buffer (4 copies ~ 9.4 ms/batch at 1080p B=64 on
+    v5e); two concats of views copy the output once per axis instead."""
+    img = jnp.concatenate(
+        [img[..., 1:2, :, :], img[..., 1:-1, :, :], img[..., -2:-1, :, :]],
+        axis=-3,
+    )
+    img = jnp.concatenate(
+        [img[..., :, 1:2, :], img[..., :, 1:-1, :], img[..., :, -2:-1, :]],
+        axis=-2,
+    )
     return img
 
 
@@ -259,10 +267,13 @@ def debayer_mht(bayer: jax.Array, phase: str) -> jax.Array:
     left = _mht_core(_edge_pad2(bayer[..., :, 0:4]), h, 2, phase)
     right = _mht_core(_edge_pad2(bayer[..., :, w - 4:w]), h, 2, phase,
                       col_off=w - 2, sx=2)
-    out = out.at[..., 0:2, :, :].set(top)
-    out = out.at[..., h - 2:h, :, :].set(bot)
-    out = out.at[..., :, 0:2, :].set(left)
-    out = out.at[..., :, w - 2:w, :].set(right)
+    # concat instead of dynamic-update-slice (see _replicate_border); the
+    # left/right strips' corner values equal the top/bottom ones, so the
+    # column concat stays consistent after the row concat
+    out = jnp.concatenate([top, out[..., 2:h - 2, :, :], bot], axis=-3)
+    out = jnp.concatenate(
+        [left, out[..., :, 2:w - 2, :], right], axis=-2
+    )
     return out
 
 

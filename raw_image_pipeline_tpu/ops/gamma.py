@@ -45,7 +45,10 @@ def _gamma_formula(x, k):
 def gamma_corrections(k: float):
     """(corr_idx, corr_val) patching the device pow formula to the exact
     reference LUT, derived on the current backend."""
-    return derive_corrections(lambda x: _gamma_formula(x, k), build_gamma_lut(k))
+    return derive_corrections(
+        lambda x: _gamma_formula(x, k), build_gamma_lut(k),
+        max_corr=GAMMA_MAX_CORR,
+    )
 
 
 def gamma_apply(image: jax.Array, k: jax.Array, corr_idx: jax.Array, corr_val: jax.Array) -> jax.Array:
@@ -62,12 +65,18 @@ def gamma_correct(image: jax.Array, k: float) -> jax.Array:
 
 # --- polynomial-served LUT (the pipeline's fast path) -----------------------
 # pow costs ~30 VPU ops per pixel; for every practical k the 256-entry curve
-# fits a degree<=7 polynomial in sqrt(i/255) space whose f32 Horner is ~16
+# fits a degree<=9 polynomial in sqrt(i/255) space whose f32 Horner is ~20
 # ops, with residual rounding differences patched by the same correction
 # machinery. Coefficients are runtime parameters (front-padded to a fixed
 # length), so changing k still never recompiles.
 
-GAMMA_POLY_LEN = 8  # highest-degree-first, zeros-padded at the front
+GAMMA_POLY_LEN = 10  # highest-degree-first, zeros-padded at the front
+
+# Runtime-parameter correction pad: every practical k measures <= 12 real
+# corrections on TPU (and <= 8 with the deg<=9 fits below), but each pad
+# entry costs a compare+select per pixel in the hot path — 16 keeps the
+# no-recompile-on-k contract at half the round-2 cost (was 32).
+GAMMA_MAX_CORR = 16
 
 
 import functools
@@ -76,7 +85,7 @@ import functools
 @functools.lru_cache(maxsize=64)
 def gamma_poly_coeffs(k: float):
     """([GAMMA_POLY_LEN] f32 Horner coefficients, root) for 255*(i/255)^k
-    in t = 2*(i/255)^(1/root)-1 space, or None if no degree<=7 fit is close
+    in t = 2*(i/255)^(1/root)-1 space, or None if no degree<=9 fit is close
     enough in either domain (then the pow formula path is used instead).
     The sqrt domain covers k >= ~0.5; the cbrt domain covers small k.
 
@@ -89,7 +98,7 @@ def gamma_poly_coeffs(k: float):
     for root in (2, 3):
         fit = fit_branch_poly(
             256, i, target,
-            budget=16, degrees=range(4, GAMMA_POLY_LEN), root=root,
+            budget=8, degrees=range(4, GAMMA_POLY_LEN), root=root,
         )
         if fit is not None:
             co, _lo, _hi = fit
@@ -109,7 +118,8 @@ def gamma_corrections_poly(k: float, coeffs: np.ndarray, root: int):
     reference LUT, derived on the current backend."""
     cj = jnp.asarray(coeffs)
     return derive_corrections(
-        lambda x: _gamma_poly_formula(x, cj, root), build_gamma_lut(k)
+        lambda x: _gamma_poly_formula(x, cj, root), build_gamma_lut(k),
+        max_corr=GAMMA_MAX_CORR,
     )
 
 
@@ -187,7 +197,8 @@ def bt709_corrections(forward: bool):
     """(corr_idx, corr_val) patching the device formula to the exact
     host-built BT.709 LUT, derived on the current backend."""
     return derive_corrections(
-        lambda x: _bt709_formula(x, forward), build_bt709_lut(forward)
+        lambda x: _bt709_formula(x, forward), build_bt709_lut(forward),
+        max_corr=GAMMA_MAX_CORR,
     )
 
 

@@ -92,13 +92,19 @@ def _tables_y(src: int, dst: int):
 
 @partial(jax.jit, static_argnames=("dst_h", "dst_w"))
 def resize_linear_u8(image: jax.Array, dst_h: int, dst_w: int) -> jax.Array:
-    """image: [..., H, W, C] uint8 -> [..., dst_h, dst_w, C] uint8."""
+    """image: [..., H, W, C] uint8 -> [..., dst_h, dst_w, C] uint8.
+
+    Implementation choice (v5e, 1080p->270p B=64, K-dispatch marginals):
+    horizontal-first takes = 63 us/frame, beating row-select-first takes
+    (97), the round-2 vertical-weighted form (105), and strided-slice row
+    selection, which is pathological on TPU (975 us — sublane-granularity
+    strided u8 access). OpenCV's pass order is also the exactness
+    requirement: the truncating vertical shifts do not commute."""
     src_h, src_w = image.shape[-3], image.shape[-2]
     sx, sx2, a0, a1 = _tables_x(src_w, dst_w)
     sy, sy2, b0, b1 = _tables_y(src_h, dst_h)
 
-    # horizontal pass first (OpenCV order — the truncating vertical shifts
-    # do not commute). Gathers fetch u8 columns and widen after.
+    # horizontal pass over the full height (u8 takes widen after fetch)
     hbuf = (
         jnp.take(image, jnp.asarray(sx), axis=-2).astype(jnp.int32)
         * jnp.asarray(a0)[:, None]

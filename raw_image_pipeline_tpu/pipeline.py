@@ -93,8 +93,8 @@ class IspParams:
     color_bias: jax.Array  # [3] f32
     gamma_k: jax.Array  # scalar f32 (pow fallback path)
     gamma_poly: jax.Array  # [GAMMA_POLY_LEN] f32 Horner coeffs (or zeros)
-    gamma_corr_idx: jax.Array  # [MAX_CORR] i32 formula patch indices
-    gamma_corr_val: jax.Array  # [MAX_CORR] u8 patch values
+    gamma_corr_idx: jax.Array  # [GAMMA_MAX_CORR] i32 formula patch indices
+    gamma_corr_val: jax.Array  # [GAMMA_MAX_CORR] u8 patch values
     enhancer_gains: jax.Array  # [3] f32 (H,S,V)
     vignetting_mask: jax.Array  # [H,W] f32 (post-flip dims) or scalar 0 if unused
     # undistortion remap, precomputed from the fisheye maps at init
