@@ -337,6 +337,42 @@ def pallas_debayer_check(h=1024, w=1920):
 CANONICAL_CPU_FPS = 11.98
 
 
+def ccc_response_precision_check(n=64):
+    """Assert on-chip that the CCC response's DEFAULT-precision matmuls
+    yield the same argmax as the HIGHEST (6-pass f32 emulation) path on
+    realistic random-frame histograms — the guard behind running the DFT
+    matmuls at the fast precision (ops/ccc.py ccc_response)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raw_image_pipeline_tpu.config import DEFAULT_CCC_MODEL_PATH
+    from raw_image_pipeline_tpu.models.ccc_model import load_ccc_model
+    from raw_image_pipeline_tpu.ops import ccc as C
+
+    model = load_ccc_model(DEFAULT_CCC_MODEL_PATH)
+    fr = jnp.asarray(model.filt_dft_re)
+    fi = jnp.asarray(model.filt_dft_im)
+    bs = jnp.asarray(model.bias)
+    frames = device_noise((n, 270, 360, 3), 71)
+
+    @jax.jit
+    def diff(px):
+        hist = C.log_chroma_histogram(px, 0.8, 0.1)
+        a = C.response_argmax(C.ccc_response(hist, fr, fi, bs))
+        b = C.response_argmax(C.ccc_response(
+            hist, fr, fi, bs, precision=jax.lax.Precision.HIGHEST))
+        return jnp.sum((a != b).astype(jnp.int32))
+
+    nd = int(np.asarray(diff(frames)))
+    log(f"ccc response precision check: {nd} argmax diffs (DEFAULT vs "
+        f"HIGHEST) over {n} histograms")
+    if nd:
+        raise AssertionError(
+            f"CCC RESPONSE PRECISION REGRESSION: {nd} argmax diffs"
+        )
+    return nd
+
+
 def cpu_fps(iters=12, h=1080, w=1920):
     """Reference chain composed from cv2 primitives (the reference's CPU
     backend calls), one frame at a time like the reference node. Thresholds
@@ -512,6 +548,12 @@ def main():
         log(f"!!! {e}")  # kernel regression — loud, but keep the metric line
     except Exception as e:
         log(f"pallas debayer check skipped: {e}")
+    try:
+        ccc_response_precision_check()
+    except AssertionError as e:
+        log(f"!!! {e}")
+    except Exception as e:
+        log(f"ccc response precision check skipped: {e}")
     try:
         tpu_scaling()
     except Exception as e:
