@@ -337,6 +337,35 @@ def pallas_debayer_check(h=1024, w=1920):
 CANONICAL_CPU_FPS = 11.98
 
 
+def pallas_histogram_check(n=64):
+    """Exercise the compiled (Mosaic) Pallas CCC histogram on the real TPU
+    and assert BITWISE equality with the f32 einsum formulation — the guard
+    behind serving the production chain from the MXU one-hot kernel
+    (ops/ccc.py _hist_counts_pallas)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raw_image_pipeline_tpu.ops import ccc as C
+
+    frames = device_noise((n, 270, 360, 3), 81)
+
+    @jax.jit
+    def diff(px):
+        a = C.log_chroma_histogram(px, 0.8, 0.1, impl="einsum")
+        b = C.log_chroma_histogram(px, 0.8, 0.1, impl="pallas")
+        return jnp.sum((a != b).astype(jnp.int32))
+
+    t0 = time.perf_counter()
+    nd = int(np.asarray(diff(frames)))
+    log(f"pallas histogram (Mosaic compile + run): {nd} bin mismatches vs "
+        f"einsum over {n} frames ({time.perf_counter()-t0:.0f}s)")
+    if nd:
+        raise AssertionError(
+            f"PALLAS HISTOGRAM REGRESSION: {nd} bins differ from the einsum"
+        )
+    return nd
+
+
 def ccc_response_precision_check(n=64):
     """Assert on-chip that the CCC response's DEFAULT-precision matmuls
     yield the same argmax as the HIGHEST (6-pass f32 emulation) path on
@@ -554,6 +583,12 @@ def main():
         log(f"!!! {e}")
     except Exception as e:
         log(f"ccc response precision check skipped: {e}")
+    try:
+        pallas_histogram_check()
+    except AssertionError as e:
+        log(f"!!! {e}")
+    except Exception as e:
+        log(f"pallas histogram check skipped: {e}")
     try:
         tpu_scaling()
     except Exception as e:

@@ -28,10 +28,13 @@ green/red axis), the model filter/bias are transposed at load
 coordinate of the argmax drives gain_r while the *row* drives gain_b
 (ccc.cpp:359-370).
 
-On TPU the histogram is a scatter-add over 65536 bins, the FFTs are XLA
-rfft2/irfft2 on 256x256, and everything is batched over frames. Under
-spatial sharding the histogram becomes a partial-histogram psum (GSPMD
-inserts the collective).
+On TPU the 65536-bin histogram is a one-hot matmul on the MXU — a Pallas
+kernel building bf16 one-hot factors in VMEM (the fast path; bitwise equal
+to the f32 einsum, asserted on-chip by bench.py), with a fused f32 einsum
+fallback for CPU and for spatial sharding (GSPMD psums partial histograms
+across the space axis; it cannot partition a pallas_call — see
+set_histogram_impl). The DFTs are real 256x256 matmul pairs, and
+everything is batched over frames.
 """
 
 from __future__ import annotations
@@ -43,6 +46,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 from raw_image_pipeline_tpu.models.ccc_model import CCCModel
 from raw_image_pipeline_tpu.ops.colorspace import bgr_to_gray_f32
@@ -61,10 +65,91 @@ def _round_half_away(x):
     return jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5))
 
 
-@partial(jax.jit, static_argnames=("bright_thr", "dark_thr"))
+# Histogram implementation selector. "auto" uses the Pallas MXU kernel on
+# TPU and the fused-einsum formulation elsewhere; force "einsum" for
+# multi-device spatial sharding on real TPU hardware (GSPMD cannot
+# partition a pallas_call — the einsum path lets it psum partial
+# histograms across the space axis instead; see docs/scaling.md).
+_HIST_IMPL = "auto"
+
+
+def set_histogram_impl(impl: str) -> None:
+    """Select the log-chroma histogram backend: "auto" | "einsum" | "pallas"."""
+    global _HIST_IMPL
+    if impl not in ("auto", "einsum", "pallas"):
+        raise ValueError(f"unknown histogram impl [{impl}]")
+    _HIST_IMPL = impl
+    # the selector is read at trace time; drop cached traces
+    log_chroma_histogram.clear_cache()
+
+
+_HIST_ROWS, _HIST_PC = 8, 2048  # pallas kernel block: 8 chunks x 2048 pixels
+
+
+def _hist_pallas_kernel(u_ref, v_ref, out_ref):
+    """One grid step: accumulate 8 x 2048 pixels of one frame's joint
+    (u, v) histogram via bf16 one-hot matmuls on the MXU.
+
+    Exactness: the one-hot factors are exactly 0.0/1.0 in bfloat16, the MXU
+    accumulates their products in float32, and every partial count is an
+    integer < 2^24 — so the result is bitwise identical to the f32 einsum
+    (integer sums in f32 are order-independent below 2^24; asserted on-chip
+    against the einsum by bench.py every run). The one-hots are built
+    sublane-major ([pc, 256]) and contracted over dim 0 of both operands —
+    the lane-major/NT orientation measures ~100x slower under Mosaic."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0] = jnp.zeros((HIST_N, HIST_N), jnp.float32)
+
+    pc = _HIST_PC
+    iota = jax.lax.broadcasted_iota(jnp.int32, (pc, HIST_N), 1)
+    acc = jnp.zeros((HIST_N, HIST_N), jnp.float32)
+    for k in range(_HIST_ROWS):
+        ut = u_ref[0, k:k + 1, :].reshape(pc, 1)
+        vt = v_ref[0, k:k + 1, :].reshape(pc, 1)
+        ou = (jnp.broadcast_to(ut, (pc, HIST_N)) == iota).astype(jnp.bfloat16)
+        ov = (jnp.broadcast_to(vt, (pc, HIST_N)) == iota).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            ou, ov, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0] = out_ref[0] + acc
+
+
+def _hist_counts_pallas(u_flat: jax.Array, vm_flat: jax.Array,
+                        interpret: bool = False) -> jax.Array:
+    """[B, P] int32 bin coords (invalid pixels encoded as v = HIST_N) ->
+    [B, 256, 256] float32 counts. interpret=True runs the kernel in the
+    Pallas interpreter (CPU test coverage)."""
+    b, p = u_flat.shape
+    blk = _HIST_ROWS * _HIST_PC
+    pp = -(-p // blk) * blk
+    if pp != p:
+        u_flat = jnp.pad(u_flat, ((0, 0), (0, pp - p)))
+        # pad v with the out-of-range sentinel so pad pixels count nothing
+        vm_flat = jnp.pad(vm_flat, ((0, 0), (0, pp - p)),
+                          constant_values=HIST_N)
+    u3 = u_flat.reshape(b, pp // _HIST_PC, _HIST_PC)
+    v3 = vm_flat.reshape(b, pp // _HIST_PC, _HIST_PC)
+    return pl.pallas_call(
+        _hist_pallas_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, HIST_N, HIST_N), jnp.float32),
+        grid=(b, pp // blk),
+        in_specs=[
+            pl.BlockSpec((1, _HIST_ROWS, _HIST_PC), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, _HIST_ROWS, _HIST_PC), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, HIST_N, HIST_N), lambda i, j: (i, 0, 0)),
+        interpret=interpret,
+    )(u3, v3)
+
+
+@partial(jax.jit, static_argnames=("bright_thr", "dark_thr", "impl"))
 def log_chroma_histogram(
     image: jax.Array, bright_thr: float = 0.9, dark_thr: float = 0.1,
-    uv0: float = UV0,
+    uv0: float = UV0, impl: Optional[str] = None,
 ) -> jax.Array:
     """[..., H, W, 3] uint8 BGR -> [..., 256, 256] float32 histogram.
 
@@ -109,14 +194,26 @@ def log_chroma_histogram(
     u_flat = u.reshape((-1, h * w))
     v_flat = v.reshape((-1, h * w))
     valid_flat = valid.reshape((-1, h * w))
-    iota = jnp.arange(HIST_N, dtype=jnp.int32)
-    ou = (u_flat[..., None] == iota).astype(jnp.float32)
-    ov = ((v_flat[..., None] == iota) & valid_flat[..., None]).astype(
-        jnp.float32
+    impl = impl or _HIST_IMPL
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() == "tpu"
     )
-    counts = jnp.einsum(
-        "bpu,bpv->buv", ou, ov, preferred_element_type=jnp.float32
-    )
+    if use_pallas:
+        # invalid pixels carry the out-of-range bin HIST_N: their one-hot
+        # row is all-zero, exactly like the einsum's `& valid` masking
+        vm_flat = jnp.where(valid_flat, v_flat, HIST_N)
+        counts = _hist_counts_pallas(
+            u_flat, vm_flat, interpret=jax.default_backend() == "cpu"
+        )
+    else:
+        iota = jnp.arange(HIST_N, dtype=jnp.int32)
+        ou = (u_flat[..., None] == iota).astype(jnp.float32)
+        ov = ((v_flat[..., None] == iota) & valid_flat[..., None]).astype(
+            jnp.float32
+        )
+        counts = jnp.einsum(
+            "bpu,bpv->buv", ou, ov, preferred_element_type=jnp.float32
+        )
     hist = counts * pixel_weight
     return hist.reshape(lead + (HIST_N, HIST_N))
 

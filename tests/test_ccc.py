@@ -77,6 +77,17 @@ def test_histogram_parity(alphasense):
     assert 0.2 < hist.sum() <= 1.0 + 1e-6
 
 
+def test_histogram_pallas_kernel_matches_einsum(alphasense):
+    """The Pallas MXU histogram (the TPU fast path, run here through the
+    Pallas interpreter) is bitwise equal to the einsum formulation —
+    including invalid-pixel masking and the non-multiple-of-block pad."""
+    small = np.asarray(resize_linear_u8(alphasense, 270, 360))
+    batch = np.stack([small, 255 - small])  # 2nd frame: different valid set
+    ref = np.asarray(ccc.log_chroma_histogram(batch, 0.9, 0.1, impl="einsum"))
+    got = np.asarray(ccc.log_chroma_histogram(batch, 0.9, 0.1, impl="pallas"))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_response_and_argmax_parity(alphasense):
     _, (x_ref, y_ref), hist_ref, resp_ref = cv_reference_ccc(alphasense)
     resp = np.asarray(
