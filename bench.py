@@ -300,20 +300,25 @@ def config_benchmarks(h=1080, w=1920):
     return results
 
 
-def pallas_debayer_check(h=1024, w=1920):
+def pallas_debayer_check(h=1080, w=1920):
     """Exercise the compiled (Mosaic) Pallas debayer on the real TPU and
-    assert equality with the XLA bilinear path (VERDICT r01 weak #8).
-    The kernel's band DMA needs H % 128 == 0, hence 1024 rows here."""
+    assert equality with the XLA bilinear stencil (VERDICT r01 weak #8) at
+    the headline frame size. "bilinear" auto-selects the kernel on TPU, so
+    the XLA side is pinned via debayer_bilinear directly."""
     import jax
     import jax.numpy as jnp
 
-    from raw_image_pipeline_tpu.ops.debayer import debayer
+    from raw_image_pipeline_tpu.ops.debayer import (
+        debayer,
+        debayer_bilinear,
+        phase_for_encoding,
+    )
 
     bay = device_noise((2, h, w), 61)
 
     @jax.jit
     def diff(px):
-        a = debayer(px, "bayer_gbrg8", "bilinear")
+        a = debayer_bilinear(px, phase_for_encoding("bayer_gbrg8"))
         b = debayer(px, "bayer_gbrg8", "bilinear_pallas")
         return jnp.sum((a != b).astype(jnp.int32))
 

@@ -76,6 +76,40 @@ def phase_for_encoding(encoding: str) -> str:
     return _CV_PHASE[ENCODING_TO_CV_CODE[encoding]]
 
 
+# Bilinear backend selector, mirroring ccc.set_histogram_impl: "auto" runs
+# the banded-DMA Pallas kernel on TPU for eligible shapes (bit-identical to
+# the XLA stencil; measured 134 us/frame faster IN-CHAIN at 1080p B=64 on
+# v5e — 1.86 -> 1.73 ms/frame full chain) and the fused XLA stencil
+# elsewhere. Force "xla" for multi-device spatial sharding on real TPU
+# hardware: GSPMD cannot partition a pallas_call (see docs/scaling.md).
+_BILINEAR_IMPL = "auto"
+
+
+def set_bilinear_impl(impl: str) -> None:
+    """Select the bilinear demosaic backend: "auto" | "xla" | "pallas"."""
+    global _BILINEAR_IMPL
+    if impl not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown bilinear demosaic impl [{impl}]")
+    _BILINEAR_IMPL = impl
+
+
+def _pallas_bilinear_eligible(bayer) -> bool:
+    """Shapes the kernel handles: one batched [B, H, W] u8 layout, even
+    frame dims (per-tile parity masks), and a multiple-of-8 row tile that
+    divides H (debayer_pallas.tile_rows_for). An outer vmap (multicamera)
+    is handled by the kernel wrapper's custom_vmap rule, which folds the
+    mapped axis into the grid batch axis."""
+    from raw_image_pipeline_tpu.ops.debayer_pallas import tile_rows_for
+
+    return (
+        bayer.ndim == 3
+        and bayer.dtype == jnp.uint8
+        and bayer.shape[-2] % 2 == 0
+        and bayer.shape[-1] % 2 == 0
+        and tile_rows_for(bayer.shape[-2]) is not None
+    )
+
+
 def _site_masks(h: int, w: int, phase: str, row_off: int = 0, col_off: int = 0):
     """Boolean masks (h, w) for R / G-in-R-row / G-in-B-row / B sample sites.
     row_off/col_off shift the parity (for border strips computed on slabs
@@ -315,12 +349,21 @@ def debayer(bayer: jax.Array, encoding: str, algorithm: str = "bilinear") -> jax
         return debayer_bilinear16(bayer, phase)
     phase = phase_for_encoding(encoding)
     if algorithm == "bilinear":
+        use_pallas = _BILINEAR_IMPL == "pallas" or (
+            _BILINEAR_IMPL == "auto"
+            and jax.default_backend() == "tpu"
+            and _pallas_bilinear_eligible(bayer)
+        )
+        if use_pallas:
+            from raw_image_pipeline_tpu.ops.debayer_pallas import (
+                debayer_bilinear_pallas_nhwc,
+            )
+
+            return debayer_bilinear_pallas_nhwc(bayer, phase)
         return debayer_bilinear(bayer, phase)
     if algorithm == "bilinear_pallas":
-        # hand-written banded-DMA kernel; bit-identical to "bilinear".
-        # The XLA path stays the default because it fuses into the
-        # surrounding chain; the kernel is the right base for a future
-        # fused demosaic+pointwise mega-kernel.
+        # hand-written banded-DMA kernel; bit-identical to "bilinear"
+        # (asserted in-chain and standalone on-chip by bench.py each run)
         from raw_image_pipeline_tpu.ops.debayer_pallas import (
             debayer_bilinear_pallas_nhwc,
         )

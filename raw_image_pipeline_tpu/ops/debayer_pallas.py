@@ -25,7 +25,7 @@ demosaic ~2x faster than the fused XLA stencil (86 vs 190 us/frame).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -141,7 +141,30 @@ def debayer_bilinear_pallas(bayer: jax.Array, phase: str) -> jax.Array:
     )(padded)
 
 
+@lru_cache(maxsize=None)
+def _nhwc_fn(phase: str):
+    """Per-phase NHWC wrapper with a custom vmap rule: Mosaic cannot batch
+    a pallas_call whose input block lives in memory_space=ANY, so an outer
+    vmap (the multicamera path) is absorbed by collapsing the mapped axis
+    into the kernel's grid batch axis instead — bit-identical, and the
+    kernel runs once over cameras x frames."""
+
+    @jax.custom_batching.custom_vmap
+    def fn(bayer: jax.Array) -> jax.Array:
+        return jnp.transpose(debayer_bilinear_pallas(bayer, phase), (0, 2, 3, 1))
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, bayer):
+        (batched,) = in_batched
+        if not batched:
+            bayer = jnp.broadcast_to(bayer, (axis_size,) + bayer.shape)
+        out = fn(bayer.reshape((-1,) + bayer.shape[2:]))
+        return out.reshape((axis_size, -1) + out.shape[1:]), True
+
+    return fn
+
+
 @partial(jax.jit, static_argnames=("phase",))
 def debayer_bilinear_pallas_nhwc(bayer: jax.Array, phase: str) -> jax.Array:
     """NHWC wrapper: [B, H, W] -> [B, H, W, 3] uint8."""
-    return jnp.transpose(debayer_bilinear_pallas(bayer, phase), (0, 2, 3, 1))
+    return _nhwc_fn(phase)(bayer)

@@ -26,3 +26,47 @@ def test_pallas_matches_xla_path(interpret_pallas, phase):
     ref = np.asarray(debayer_bilinear(bay, phase))
     got = np.asarray(debayer_bilinear_pallas_nhwc(bay, phase))
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("h", [120, 72, 240])
+def test_pallas_non_pow2_heights(interpret_pallas, h):
+    """Heights whose row tile is not 128 (1080-family sizes)."""
+    from raw_image_pipeline_tpu.ops.debayer_pallas import (
+        debayer_bilinear_pallas_nhwc,
+    )
+
+    rng = np.random.default_rng(h)
+    bay = rng.integers(0, 256, (1, h, 36), np.uint8)
+    ref = np.asarray(debayer_bilinear(bay, "gbrg"))
+    got = np.asarray(debayer_bilinear_pallas_nhwc(bay, "gbrg"))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_tile_rows_for():
+    from raw_image_pipeline_tpu.ops.debayer_pallas import tile_rows_for
+
+    assert tile_rows_for(1080) == 120
+    assert tile_rows_for(1024) == 128
+    assert tile_rows_for(270) is None  # no multiple-of-8 divisor
+    assert tile_rows_for(1079) is None
+    assert tile_rows_for(72) == 72
+
+
+def test_pallas_vmap_folds_into_grid(interpret_pallas):
+    """The custom_vmap rule (multicamera path) must match per-camera calls
+    bit-for-bit."""
+    import jax
+
+    from raw_image_pipeline_tpu.ops.debayer_pallas import (
+        debayer_bilinear_pallas_nhwc,
+    )
+
+    rng = np.random.default_rng(7)
+    cams = rng.integers(0, 256, (3, 2, 64, 40), np.uint8)
+    ref = np.stack(
+        [np.asarray(debayer_bilinear_pallas_nhwc(c, "bggr")) for c in cams]
+    )
+    got = np.asarray(
+        jax.vmap(lambda x: debayer_bilinear_pallas_nhwc(x, "bggr"))(cams)
+    )
+    np.testing.assert_array_equal(got, ref)
