@@ -392,14 +392,16 @@ def ccc_response_precision_check(n=64):
     @jax.jit
     def diff(px):
         hist = C.log_chroma_histogram(px, 0.8, 0.1)
-        a = C.response_argmax(C.ccc_response(hist, fr, fi, bs))
-        b = C.response_argmax(C.ccc_response(
-            hist, fr, fi, bs, precision=jax.lax.Precision.HIGHEST))
-        return jnp.sum((a != b).astype(jnp.int32))
+        a = C.response_argmax(C.ccc_response(hist, fr, fi, bs))  # auto=pallas
+        b = C.response_argmax(C.ccc_response(hist, fr, fi, bs, impl="xla"))
+        c = C.response_argmax(C.ccc_response(
+            hist, fr, fi, bs, impl="xla",
+            precision=jax.lax.Precision.HIGHEST))
+        return jnp.sum((a != c).astype(jnp.int32) + (b != c).astype(jnp.int32))
 
     nd = int(np.asarray(diff(frames)))
-    log(f"ccc response precision check: {nd} argmax diffs (DEFAULT vs "
-        f"HIGHEST) over {n} histograms")
+    log(f"ccc response precision check: {nd} argmax diffs (auto/pallas and "
+        f"xla DEFAULT vs HIGHEST) over {n} histograms")
     if nd:
         raise AssertionError(
             f"CCC RESPONSE PRECISION REGRESSION: {nd} argmax diffs"

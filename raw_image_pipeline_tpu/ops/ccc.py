@@ -228,9 +228,80 @@ def _dft_matrices():
 _DFT_RE, _DFT_IM = _dft_matrices()
 
 
-@partial(jax.jit, static_argnames=("precision",))
+# Response implementation selector, same convention as the histogram's:
+# "auto" = fused Pallas kernel on TPU (all ten 256x256 DFT matmuls + the
+# complex filter product + bias in one VMEM-resident kernel per frame),
+# plain XLA matmuls elsewhere and under spatial sharding.
+_RESP_IMPL = "auto"
+
+
+def set_response_impl(impl: str) -> None:
+    """Select the CCC response backend: "auto" | "xla" | "pallas"."""
+    global _RESP_IMPL
+    if impl not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown response impl [{impl}]")
+    _RESP_IMPL = impl
+    ccc_response.clear_cache()
+
+
+def _response_pallas_kernel(x_ref, fr_ref, fi_ref, wr_ref, wi_ref, bias_ref,
+                            out_ref):
+    """One frame: resp = IDFT2(DFT2(hist) * filt_dft).real / N^2 + bias.
+
+    The ten 256x256 matmuls run back-to-back on the MXU with every operand
+    and intermediate resident in VMEM (one HBM read of the histogram, one
+    HBM write of the response — the XLA formulation roundtrips each of the
+    ~10 intermediates). bf16 operands with f32 accumulation match XLA's
+    DEFAULT-precision semantics; the argmax this feeds is asserted equal to
+    the HIGHEST-precision (6-pass f32) result on-chip by bench.py.
+    """
+    bf = jnp.bfloat16
+    f32 = jnp.float32
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a.astype(bf), b.astype(bf), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+    X = x_ref[0]
+    Fr = fr_ref[:]
+    Fi = fi_ref[:]
+    A = mm(X, Fr)  # X F^T == X Fr (F symmetric)
+    B = mm(X, Fi)
+    Yr = mm(Fr, A) - mm(Fi, B)
+    Yi = mm(Fr, B) + mm(Fi, A)
+    Zr = Yr * wr_ref[:] - Yi * wi_ref[:]
+    Zi = Yr * wi_ref[:] + Yi * wr_ref[:]
+    Ar = mm(Fr, Zr) + mm(Fi, Zi)
+    Ai = mm(Fr, Zi) - mm(Fi, Zr)
+    R = mm(Ar, Fr) + mm(Ai, Fi)
+    out_ref[0] = R * f32(1.0 / (HIST_N * HIST_N)) + bias_ref[:]
+
+
+def _response_pallas(hist3: jax.Array, filt_re, filt_im, bias,
+                     interpret: bool = False) -> jax.Array:
+    b = hist3.shape[0]
+    const = pl.BlockSpec((HIST_N, HIST_N), lambda i: (0, 0))
+    return pl.pallas_call(
+        _response_pallas_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, HIST_N, HIST_N), jnp.float32),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, HIST_N, HIST_N), lambda i: (i, 0, 0)),
+            const, const, const, const, const,
+        ],
+        out_specs=pl.BlockSpec((1, HIST_N, HIST_N), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(hist3, jnp.asarray(_DFT_RE), jnp.asarray(_DFT_IM),
+      filt_re.astype(jnp.float32), filt_im.astype(jnp.float32),
+      bias.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("precision", "impl"))
 def ccc_response(hist: jax.Array, filt_dft_re: jax.Array, filt_dft_im: jax.Array,
-                 bias_spatial: jax.Array, precision=None) -> jax.Array:
+                 bias_spatial: jax.Array, precision=None,
+                 impl: Optional[str] = None) -> jax.Array:
     """response = IDFT2(DFT2(hist) * DFT2(filt)).real + bias, [..., 256, 256].
 
     Mathematically identical to the reference's
@@ -245,6 +316,20 @@ def ccc_response(hist: jax.Array, filt_dft_re: jax.Array, filt_dft_im: jax.Array
     filter DFT, then the real part of the inverse transform.
     """
     f32 = jnp.float32
+    impl = impl or _RESP_IMPL
+    use_pallas = precision is None and (
+        impl == "pallas"
+        or (impl == "auto" and jax.default_backend() == "tpu")
+    )
+    if use_pallas:
+        lead = hist.shape[:-2]
+        resp = _response_pallas(
+            hist.astype(f32).reshape((-1, HIST_N, HIST_N)),
+            filt_dft_re, filt_dft_im, bias_spatial,
+            interpret=jax.default_backend() == "cpu",
+        )
+        return resp.reshape(lead + (HIST_N, HIST_N))
+
     Fr = jnp.asarray(_DFT_RE)
     Fi = jnp.asarray(_DFT_IM)
     X = hist.astype(f32)

@@ -90,19 +90,82 @@ def _tables_y(src: int, dst: int):
     return sy0.astype(np.int32), sy1.astype(np.int32), b0, b1
 
 
+def _periodic_structure(src: int, dst: int, s0: np.ndarray, s1: np.ndarray):
+    """Detect the reduced-fraction tap pattern s0[q*t + j] == p*t + c_j (with
+    s1 == s0 + 1 and both taps inside group t) that every rational downscale
+    src/dst = p/q exhibits away from clamped borders. Verified directly
+    against the exact tables, so borders/odd ratios that break it simply
+    fall back to the gather path. Returns (p, q, c[j]) or None."""
+    import math
+
+    g = math.gcd(src, dst)
+    p, q = src // g, dst // g
+    if q > 8 or dst % q or p < 2:
+        return None
+    t = np.arange(dst) // q
+    j = np.arange(dst) % q
+    c = s0[:q].astype(np.int64)
+    if (c < 0).any() or (c + 1 > p - 1).any():
+        return None
+    if not np.array_equal(s0, p * t + c[j]) or not np.array_equal(s1, s0 + 1):
+        return None
+    return p, q, c
+
+
 @partial(jax.jit, static_argnames=("dst_h", "dst_w"))
 def resize_linear_u8(image: jax.Array, dst_h: int, dst_w: int) -> jax.Array:
     """image: [..., H, W, C] uint8 -> [..., dst_h, dst_w, C] uint8.
 
-    Implementation choice (v5e, 1080p->270p B=64, K-dispatch marginals):
-    horizontal-first takes = 63 us/frame, beating row-select-first takes
-    (97), the round-2 vertical-weighted form (105), and strided-slice row
-    selection, which is pathological on TPU (975 us — sublane-granularity
-    strided u8 access). OpenCV's pass order is also the exactness
-    requirement: the truncating vertical shifts do not commute."""
+    Implementation (v5e, 1080p->270x360 B=64, in-dispatch marginals): when
+    the tap tables follow the periodic reduced-fraction pattern (any
+    rational downscale away from clamped borders — both Alphasense feeds),
+    the four jnp.take gathers are replaced by reshape + static slices with
+    per-class weight vectors: identical taps, identical weights, identical
+    integer arithmetic — bit-exact by construction — with zero gather
+    traffic. Non-periodic shapes (upsamples, clamped borders) keep the
+    take-based formulation: horizontal-first takes = 63 us/frame, beating
+    row-select-first takes (97), the round-2 vertical-weighted form (105),
+    and strided-slice row selection, which is pathological on TPU (975 us —
+    sublane-granularity strided u8 access). OpenCV's pass order is also the
+    exactness requirement: the truncating vertical shifts do not commute."""
     src_h, src_w = image.shape[-3], image.shape[-2]
     sx, sx2, a0, a1 = _tables_x(src_w, dst_w)
     sy, sy2, b0, b1 = _tables_y(src_h, dst_h)
+
+    xs = _periodic_structure(src_w, dst_w, sx, sx2)
+    ys = _periodic_structure(src_h, dst_h, sy, sy2)
+    lead = image.shape[:-3]
+    if xs is not None and ys is not None:
+        px_, qx, cx = xs
+        py_, qy, cy = ys
+        tx, ty = dst_w // qx, dst_h // qy
+        i32 = jnp.int32
+        xg = image.reshape(lead + (src_h, tx, px_, -1))
+        # horizontal: per column class j, taps are STATIC indices into the
+        # stride-px_ groups; weights become [tx]-vectors (no constancy
+        # assumption — the exact per-column quantized values apply as-is)
+        hs = []
+        for j in range(qx):
+            w0 = jnp.asarray(a0.reshape(tx, qx)[:, j])[:, None]
+            w1 = jnp.asarray(a1.reshape(tx, qx)[:, j])[:, None]
+            hs.append(
+                xg[..., int(cx[j]), :].astype(i32) * w0
+                + xg[..., int(cx[j]) + 1, :].astype(i32) * w1
+            )
+        hbuf = jnp.stack(hs, axis=-2)  # [..., H, tx, qx, C]
+        hbuf = hbuf.reshape(lead + (src_h, dst_w, -1))
+        # vertical: same structure on rows, OpenCV's truncating 8u form
+        vg = hbuf.reshape(lead + (ty, py_, dst_w, hbuf.shape[-1]))
+        vs = []
+        for j in range(qy):
+            w0 = jnp.asarray(b0.reshape(ty, qy)[:, j])[:, None, None]
+            w1 = jnp.asarray(b1.reshape(ty, qy)[:, j])[:, None, None]
+            s0 = vg[..., int(cy[j]), :, :] >> 4
+            s1 = vg[..., int(cy[j]) + 1, :, :] >> 4
+            vs.append((((w0 * s0) >> 16) + ((w1 * s1) >> 16) + 2) >> 2)
+        acc = jnp.stack(vs, axis=-3)  # [..., ty, qy, dst_w, C]
+        acc = acc.reshape(lead + (dst_h, dst_w, acc.shape[-1]))
+        return jnp.clip(acc, 0, 255).astype(jnp.uint8)
 
     # horizontal pass over the full height (u8 takes widen after fetch)
     hbuf = (

@@ -101,6 +101,27 @@ def test_response_and_argmax_parity(alphasense):
     assert (uv[0], uv[1]) == (x_ref, y_ref)
 
 
+def test_response_pallas_matches_xla(alphasense):
+    """The fused Pallas response kernel (the TPU fast path, run here through
+    the Pallas interpreter) produces the same argmax as the XLA matmul
+    formulation — the only property the chain consumes — and values within
+    bf16-product tolerance of it."""
+    small = np.asarray(resize_linear_u8(alphasense, 270, 360))
+    batch = np.stack([small, 255 - small, small[:, ::-1]])
+    hist = ccc.log_chroma_histogram(batch, 0.9, 0.1)
+    r_x = ccc.ccc_response(
+        hist, MODEL.filt_dft_re, MODEL.filt_dft_im, MODEL.bias, impl="xla"
+    )
+    r_p = ccc.ccc_response(
+        hist, MODEL.filt_dft_re, MODEL.filt_dft_im, MODEL.bias, impl="pallas"
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ccc.response_argmax(r_p)), np.asarray(ccc.response_argmax(r_x))
+    )
+    scale = float(np.abs(np.asarray(r_x)).max())
+    assert float(np.abs(np.asarray(r_p) - np.asarray(r_x)).max()) < 0.02 * scale
+
+
 def test_full_ccc_parity(alphasense):
     ref, (x_ref, y_ref), _, _ = cv_reference_ccc(alphasense)
     out, _ = ccc.ccc_balance_white(alphasense[None], MODEL)

@@ -49,3 +49,24 @@ def test_resize_batched_consistency():
     for i in range(3):
         solo = np.asarray(resize_linear_u8(imgs[i], 270, 360))
         np.testing.assert_array_equal(batch[i], solo)
+
+
+def test_periodic_structure_detection():
+    """The reshape/static-slice fast path must engage at the production
+    sizes (zero gathers in the CCC working resize) and decline shapes whose
+    tap tables break the pattern (upsamples with clamped borders)."""
+    from raw_image_pipeline_tpu.ops.resize import (
+        _periodic_structure, _tables_x, _tables_y,
+    )
+
+    for src, dst, p, q in [(1920, 360, 16, 3), (1080, 270, 4, 1),
+                           (1440, 360, 4, 1), (720, 360, 2, 1),
+                           (540, 270, 2, 1)]:
+        got = _periodic_structure(src, dst, *_tables_x(src, dst)[:2])
+        assert got is not None and (got[0], got[1]) == (p, q), (src, dst, got)
+        sy, sy2, _, _ = _tables_y(src, dst)
+        assert _periodic_structure(src, dst, sy, sy2) is not None
+
+    # upsample: clamped borders break the pattern -> fallback path
+    sy, sy2, _, _ = _tables_y(100, 270)
+    assert _periodic_structure(100, 270, sy, sy2) is None
