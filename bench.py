@@ -483,7 +483,8 @@ def cpu_fps(iters=12, h=1080, w=1920):
         img = cv2.multiply(img, (gb / fac, gg / fac, gr / fac, 0))
         # color calibration
         flat = img.reshape(-1, 3).astype(np.float32)
-        img = np.clip(np.rint(flat @ cmat.T + cbias), 0, 255).astype(np.uint8).reshape(img.shape)
+        mixed = cv2.gemm(flat, cmat.T, 1.0, None, 0.0)  # == reference cv::gemm
+        img = np.clip(np.rint(mixed + cbias), 0, 255).astype(np.uint8).reshape(img.shape)
         # gamma
         img = cv2.LUT(img, lut)
         # vignetting

@@ -72,12 +72,16 @@ def rep_marginal(make_chain, k_lo=2, k_hi=8, repeats=7):
     return (t_hi - t_lo) / (k_hi - k_lo)
 
 
-def batch_marginal(step, px_small, px_big, repeats=7):
-    """bench.py-style 16v64 fetch-marginal; returns seconds per frame."""
+def batch_marginal(step, px_small, px_big, repeats=7, db=None):
+    """bench.py-style 16v64 fetch-marginal; returns seconds per frame.
+    db: frame-count difference (defaults to leading-axis difference — pass
+    explicitly for batch-minor layouts where batch is not axis 0)."""
     np.asarray(step(px_small)), np.asarray(step(px_big))
     t_s = timed_fetch(lambda: step(px_small), repeats)
     t_b = timed_fetch(lambda: step(px_big), repeats)
-    return (t_b - t_s) / (px_big.shape[0] - px_small.shape[0])
+    if db is None:
+        db = px_big.shape[0] - px_small.shape[0]
+    return (t_b - t_s) / db
 
 
 # ---------------------------------------------------------------------------
@@ -140,8 +144,10 @@ def section_chain(h=1080, w=1920, b_small=16, b_big=64):
     return base
 
 
-def section_ccc(b=64):
-    """Standalone CCC sub-ops via in-dispatch repetition."""
+def section_ccc(b_small=16, b_big=64):
+    """Standalone CCC sub-ops via batch-size fetch-marginals (single-op
+    dispatches keep the axon remote compiler happy; the in-dispatch
+    repetition harness hangs it on large unrolled programs)."""
     import jax
     import jax.numpy as jnp
 
@@ -156,95 +162,52 @@ def section_ccc(b=64):
         jnp.asarray(model.filt_dft_im),
         jnp.asarray(model.bias),
     )
-    frames = device_noise((b, 1080, 1920, 3), 5)
-    small = device_noise((b, C.SMALL_H, C.SMALL_W, 3), 6)
-    hist0 = jax.jit(lambda x: C.log_chroma_histogram(x, 0.8, 0.1))(small)
-    hist0.block_until_ready()
+    frames = {b: device_noise((b, 1080, 1920, 3), b) for b in (b_small, b_big)}
+    small = {b: device_noise((b, C.SMALL_H, C.SMALL_W, 3), b + 1)
+             for b in (b_small, b_big)}
+    hist = {}
+    for b in (b_small, b_big):
+        hist[b] = jax.jit(lambda x: C.log_chroma_histogram(x, 0.8, 0.1))(small[b])
+        hist[b].block_until_ready()
 
-    def chain_resize(k):
-        @jax.jit
-        def step():
-            x = frames
-            acc = jnp.int32(0)
-            for _ in range(k):
-                s = resize_linear_u8(x, C.SMALL_H, C.SMALL_W)
-                t = jnp.sum(s, dtype=jnp.int32)
-                acc = acc + t
-                x = x ^ (t & 1).astype(jnp.uint8)
-            return acc
-        return step
+    def run(name, step, inputs):
+        jitted = jax.jit(step)
+        dt = retry(lambda: batch_marginal(
+            lambda x: jitted(x), inputs[b_small], inputs[b_big]))
+        log(f"  {name:28s} {dt*1e6:8.1f} us/frame")
 
-    def chain_xor_control(k):
-        @jax.jit
-        def step():
-            x = frames
-            acc = jnp.int32(0)
-            for _ in range(k):
-                t = jnp.sum(x[:, ::271, ::479, :], dtype=jnp.int32)
-                acc = acc + t
-                x = x ^ (t & 1).astype(jnp.uint8)
-            return acc
-        return step
-
-    def chain_hist(k, impl):
-        @jax.jit
-        def step():
-            x = small
-            acc = jnp.float32(0)
-            for _ in range(k):
-                hh = C.log_chroma_histogram(x, 0.8, 0.1, impl=impl)
-                t = jnp.sum(hh)
-                acc = acc + t
-                x = x ^ (t.astype(jnp.int32) & 1).astype(jnp.uint8)
-            return acc
-        return step
-
-    def chain_response(k, impl="xla"):
-        @jax.jit
-        def step():
-            hh = hist0
-            acc = jnp.float32(0)
-            for _ in range(k):
-                r = C.ccc_response(hh, fr, fi, bs, impl=impl)
-                uv = C.response_argmax(r)
-                t = jnp.sum(uv).astype(jnp.float32)
-                acc = acc + t
-                hh = hist0 + t * jnp.float32(1e-12)
-            return acc
-        return step
-
-    xor = retry(lambda: rep_marginal(chain_xor_control))
-    log(f"  xor-chain control            {xor/b*1e6:8.1f} us/frame")
-    for name, mk in (
-        ("ccc resize 1080p->270x360", chain_resize),
-        ("ccc histogram (pallas)", lambda k: chain_hist(k, "pallas")),
-        ("ccc histogram (einsum)", lambda k: chain_hist(k, "einsum")),
-        ("ccc response+argmax (xla)", chain_response),
-        ("ccc response+argmax (plls)", lambda k: chain_response(k, "pallas")),
-    ):
-        dt = retry(lambda mk=mk: rep_marginal(mk))
-        extra = xor if name.startswith("ccc resize") else 0.0
-        log(f"  {name:28s} {dt/b*1e6:8.1f} us/frame"
-            + (f"  (~{(dt-extra)/b*1e6:.1f} net of xor)" if extra else ""))
+    run("ccc resize 1080p->270x360",
+        lambda x: jnp.sum(resize_linear_u8(x, C.SMALL_H, C.SMALL_W),
+                          dtype=jnp.int32), frames)
+    run("ccc histogram (pallas)",
+        lambda x: jnp.sum(C.log_chroma_histogram(x, 0.8, 0.1, impl="pallas")),
+        small)
+    run("ccc histogram (einsum)",
+        lambda x: jnp.sum(C.log_chroma_histogram(x, 0.8, 0.1, impl="einsum")),
+        small)
+    run("ccc response+argmax (xla)",
+        lambda h: jnp.sum(C.response_argmax(
+            C.ccc_response(h, fr, fi, bs, impl="xla"))), hist)
+    run("ccc response+argmax (plls)",
+        lambda h: jnp.sum(C.response_argmax(
+            C.ccc_response(h, fr, fi, bs, impl="pallas"))), hist)
 
 
-def section_remap(b=64):
-    """Remap decomposition: pack / pack+gather / full, batch-minor layout."""
+def section_remap(b_small=16, b_big=64):
+    """Remap decomposition via batch-size fetch-marginals (batch-minor)."""
     import jax
     import jax.numpy as jnp
 
     import __graft_entry__ as ge
     from raw_image_pipeline_tpu.pipeline import make_params
     from raw_image_pipeline_tpu.ops.undistortion import remap_bilinear_u8
-    from raw_image_pipeline_tpu.ops.common import round_u8
 
     h, w = 1080, 1920
     cfg = ge._full_config((h, w))
     params = make_params(cfg, (h, w))
     base = jax.device_put(params.remap_base)
     weights = jax.device_put(params.remap_weights)
-    img = device_noise((h, w, b, 3), 7)
-    k = b * 3
+    imgs = {b: device_noise((h, w, b, 3), b + 2) for b in (b_small, b_big)}
     n = int(base.shape[0])
     n_chunks = max(1, -(-n // 550_000))
     chunk = -(-n // n_chunks)
@@ -253,69 +216,41 @@ def section_remap(b=64):
         arr = x.reshape(h * w, -1)
         arrp = jnp.pad(arr, ((0, w + 1), (0, 0)))
         packed = jnp.concatenate(
-            [
-                arrp[: h * w],
-                arrp[1 : h * w + 1],
-                arrp[w : h * w + w],
-                arrp[w + 1 : h * w + w + 1],
-            ],
-            axis=1,
-        )
+            [arrp[: h * w], arrp[1 : h * w + 1],
+             arrp[w : h * w + w], arrp[w + 1 : h * w + w + 1]], axis=1)
         return jax.lax.optimization_barrier(packed)
 
-    def chain_pack(kreps):
-        @jax.jit
-        def step():
-            x = img
-            acc = jnp.int32(0)
-            for _ in range(kreps):
-                p = build_pack(x)
-                t = jnp.sum(p[::997, ::97], dtype=jnp.int32)
-                acc = acc + t
-                x = x ^ (t & 1).astype(jnp.uint8)
-            return acc
-        return step
+    def pack_only(x):
+        return jnp.sum(build_pack(x)[::997, ::47], dtype=jnp.int32)
 
-    def chain_pack_gather(kreps):
-        @jax.jit
-        def step():
-            x = img
-            acc = jnp.int32(0)
-            for _ in range(kreps):
-                p = build_pack(x)
-                tt = jnp.int32(0)
-                for s in range(n_chunks):
-                    sl = slice(s * chunk, min((s + 1) * chunk, n))
-                    rows = jnp.take(p, base[sl], axis=0)
-                    tt = tt + jnp.sum(rows[::499, ::53], dtype=jnp.int32)
-                acc = acc + tt
-                x = x ^ (tt & 1).astype(jnp.uint8)
-            return acc
-        return step
+    def pack_gather(x):
+        p = build_pack(x)
+        tt = jnp.int32(0)
+        for s in range(n_chunks):
+            sl = slice(s * chunk, min((s + 1) * chunk, n))
+            rows = jnp.take(p, base[sl], axis=0)
+            tt = tt + jnp.sum(rows[::499, ::53], dtype=jnp.int32)
+        return tt
 
-    def chain_full(kreps):
-        @jax.jit
-        def step():
-            x = img
-            acc = jnp.int32(0)
-            for _ in range(kreps):
-                x = remap_bilinear_u8(x, base, weights, (h, w), (h, w),
-                                      batch_minor=True)
-                acc = acc + jnp.sum(x[::499, ::53], dtype=jnp.int32)
-            return acc
-        return step
+    def full(x):
+        y = remap_bilinear_u8(x, base, weights, (h, w), (h, w),
+                              batch_minor=True)
+        return jnp.sum(y[::499, ::53], dtype=jnp.int32)
 
-    for name, mk in (
-        ("remap pack only", chain_pack),
-        ("remap pack+gather", chain_pack_gather),
-        ("remap full (pack+gth+blend)", chain_full),
+    for name, step in (
+        ("remap pack only", pack_only),
+        ("remap pack+gather", pack_gather),
+        ("remap full", full),
     ):
-        dt = retry(lambda mk=mk: rep_marginal(mk, k_lo=1, k_hi=4))
-        log(f"  {name:28s} {dt/b*1e6:8.1f} us/frame")
+        jitted = jax.jit(step)
+        dt = retry(lambda: batch_marginal(
+            lambda x: jitted(x), imgs[b_small], imgs[b_big],
+            db=b_big - b_small))
+        log(f"  {name:28s} {dt*1e6:8.1f} us/frame")
 
 
-def section_pointwise(b=64):
-    """Pointwise stages in batch-minor layout via in-dispatch repetition."""
+def section_pointwise(b_small=16, b_big=64):
+    """Pointwise stages in batch-minor layout via batch fetch-marginals."""
     import jax
     import jax.numpy as jnp
 
@@ -332,8 +267,8 @@ def section_pointwise(b=64):
     h, w = 1080, 1920
     cfg = ge._full_config((h, w))
     params = make_params(cfg, (h, w))
-    img = device_noise((h, w, b, 3), 8)
-    bayer = device_noise((b, h, w), 9)
+    imgs = {b: device_noise((h, w, b, 3), b + 3) for b in (b_small, b_big)}
+    bayer = {b: device_noise((b, h, w), b + 4) for b in (b_small, b_big)}
     mask = jax.device_put(params.vignetting_mask)[:, :, None]
     cm = jax.device_put(params.color_matrix)
     cb = jax.device_put(params.color_bias)
@@ -343,42 +278,27 @@ def section_pointwise(b=64):
     gv = jax.device_put(params.gamma_corr_val)
     root = gamma_poly_coeffs(cfg.gamma_correction.k)[1]
 
-    def chain_u8(op):
-        def mk(kreps):
-            @jax.jit
-            def step():
-                x = img
-                acc = jnp.int32(0)
-                for _ in range(kreps):
-                    x = op(x)
-                    acc = acc + jnp.sum(x[::499, ::53], dtype=jnp.int32)
-                return acc
-            return step
-        return mk
-
-    def chain_debayer(kreps):
-        @jax.jit
-        def step():
-            x = bayer
-            acc = jnp.int32(0)
-            for _ in range(kreps):
-                y = debayer(x, "bayer_gbrg8", "bilinear")
-                t = jnp.sum(y[:, ::499, ::53], dtype=jnp.int32)
-                acc = acc + t
-                x = x ^ (t & 1).astype(jnp.uint8)
-            return acc
-        return step
-
-    for name, mk in (
-        ("debayer (auto/pallas)", chain_debayer),
-        ("color_calibration", chain_u8(lambda x: color_correct(x, cm, cb))),
-        ("gamma (poly LUT)", chain_u8(
-            lambda x: gamma_apply_poly(x, gp, gi, gv, root=root))),
-        ("vignetting (Lab roundtrip)", chain_u8(lambda x: vig(x, mask))),
-        ("color_enhancer (HSV)", chain_u8(lambda x: enhance(x, gains))),
-    ):
-        dt = retry(lambda mk=mk: rep_marginal(mk, k_lo=2, k_hi=6))
-        log(f"  {name:28s} {dt/b*1e6:8.1f} us/frame")
+    cases = (
+        ("debayer (auto/pallas)", bayer,
+         lambda x: jnp.sum(debayer(x, "bayer_gbrg8", "bilinear")[:, ::499, ::53],
+                           dtype=jnp.int32)),
+        ("color_calibration", imgs,
+         lambda x: jnp.sum(color_correct(x, cm, cb)[::499, ::53],
+                           dtype=jnp.int32)),
+        ("gamma (poly LUT)", imgs,
+         lambda x: jnp.sum(gamma_apply_poly(x, gp, gi, gv, root=root)[::499, ::53],
+                           dtype=jnp.int32)),
+        ("vignetting (Lab roundtrip)", imgs,
+         lambda x: jnp.sum(vig(x, mask)[::499, ::53], dtype=jnp.int32)),
+        ("color_enhancer (HSV)", imgs,
+         lambda x: jnp.sum(enhance(x, gains)[::499, ::53], dtype=jnp.int32)),
+    )
+    for name, inputs, step in cases:
+        jitted = jax.jit(step)
+        dt = retry(lambda: batch_marginal(
+            lambda x: jitted(x), inputs[b_small], inputs[b_big],
+            db=b_big - b_small))
+        log(f"  {name:28s} {dt*1e6:8.1f} us/frame")
 
 
 def main():

@@ -86,7 +86,11 @@ def test_config4_colorcal_vignetting_hsv_batch(bayer_batch):
     for i, img in enumerate(imgs):
         # bgr8 input passes through debayer untouched (debayer.cpp:75)
         flat = img.reshape(-1, 3).astype(np.float32)
-        img = np.clip(np.rint(flat @ M.T.astype(np.float32) + bias.astype(np.float32)),
+        # cv2.gemm, not numpy matmul — numpy's fma-based sgemm differs from
+        # cv::gemm's plain chain at ~1% of final u8 pixels (see
+        # test_pointwise_ops.test_color_calibration_matches_reference_math)
+        mixed = cv2.gemm(flat, M.T.astype(np.float32), 1.0, None, 0.0)
+        img = np.clip(np.rint(mixed + bias.astype(np.float32)),
                       0, 255).astype(np.uint8).reshape(img.shape)
         lab = cv2.cvtColor(img, cv2.COLOR_BGR2Lab)
         L = lab[..., 0].astype(np.float32) * mask

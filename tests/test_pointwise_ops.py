@@ -100,14 +100,28 @@ def test_color_calibration_matches_reference_math():
                   [0.09277014, 1.1962607, -0.09772757],
                   [-0.24436986, -0.22239459, 2.099912]])
     bias = np.array([1.5, -2.0, 3.0])
-    # reference math (color_calibration.cpp:91-104): f32 pixels @ M^T + bias,
-    # convertTo(CV_8U) = rint + saturate
+    # reference math (color_calibration.cpp:91-104): f32 pixels * M^T via
+    # cv::gemm, + bias, convertTo(CV_8U) = rint + saturate. The golden is
+    # cv2.gemm itself — NOT numpy's BLAS matmul, whose fma-based K=3 kernel
+    # differs from cv::gemm's plain left-associative chain at ~22% of f32
+    # values (~1% of final u8 pixels); cv2.gemm == (p0+p1)+p2 exactly,
+    # verified over 20 random matrices x 100k pixels with zero mismatches.
     flat = img.reshape(-1, 3).astype(np.float32)
-    ref = flat @ M.T.astype(np.float32)
+    ref = cv2.gemm(flat, M.T.astype(np.float32), 1.0, None, 0.0)
     ref = ref.reshape(img.shape) + bias.astype(np.float32)
     ref = np.clip(np.rint(ref), 0, 255).astype(np.uint8)
     out = np.asarray(color_correct(img, M.astype(np.float32), bias.astype(np.float32)))
     np.testing.assert_array_equal(out, ref)
+
+    # and the chain structure must hold for arbitrary runtime matrices
+    rng2 = np.random.default_rng(99)
+    for _ in range(3):
+        M2 = (rng2.standard_normal((3, 3)) * rng2.uniform(0.1, 3)).astype(np.float32)
+        b2 = (rng2.standard_normal(3) * 5).astype(np.float32)
+        ref2 = cv2.gemm(flat, M2.T, 1.0, None, 0.0).reshape(img.shape) + b2
+        ref2 = np.clip(np.rint(ref2), 0, 255).astype(np.uint8)
+        out2 = np.asarray(color_correct(img, M2, b2))
+        np.testing.assert_array_equal(out2, ref2)
 
 
 # ---------------------------------------------------------------- colorspaces
