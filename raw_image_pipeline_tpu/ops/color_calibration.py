@@ -19,44 +19,60 @@ import jax.numpy as jnp
 from raw_image_pipeline_tpu.ops.common import round_u8
 
 
-@jax.jit
-def color_correct(image: jax.Array, matrix: jax.Array, bias: jax.Array) -> jax.Array:
-    """Args:
-        image:  [..., 3] uint8 BGR.
-        matrix: [3, 3] float32 — rows produce output B,G,R from input (B,G,R).
-        bias:   [3] float32 BGR bias.
+def color_correct_planes(b: jax.Array, g: jax.Array, r: jax.Array,
+                         matrix: jax.Array, bias: jax.Array):
+    """Planar core: three u8 planes -> three u8 planes.
+
+    cv::gemm's K=3 kernel is the PLAIN left-associative chain
+    rn(rn(rn(b*m0) + rn(g*m1)) + rn(r*m2)) — verified against cv2.gemm
+    over 20 random matrices x 100k pixels with zero f32 mismatches.
+    (numpy's BLAS sgemm is an fma chain instead and differs from cv2 at
+    ~22% of f32 values / ~1% of final u8 pixels — the old einsum matched
+    that proxy, not the reference. On TPU the einsum's MXU lowering also
+    diverges from the plain chain: measured ~28% of f32 values over
+    24 matrix rows x all 2^24 u8 triples.)
+
+    Codegen hazard: XLA:CPU's LLVM backend contracts mul+add into fma even
+    across optimization_barrier / f64-step / double-bitcast formulations
+    (all measured folded). Each product is therefore "sealed" by an
+    integer XOR with a runtime zero the compiler cannot constant-fold,
+    pinning the plain two-rounding semantics on every backend for one
+    extra VPU op per product. (TPU measured contraction-free — the
+    unsealed chain is bit-identical there — but the seal is kept
+    unconditionally: it is ~3 cheap int ops per product and makes the
+    semantics backend-independent by construction.)
     """
     f32 = jnp.float32
     m = matrix.astype(f32)
-    # cv::gemm's K=3 kernel is the PLAIN left-associative chain
-    # rn(rn(rn(b*m0) + rn(g*m1)) + rn(r*m2)) — verified against cv2.gemm
-    # over 20 random matrices x 100k pixels with zero f32 mismatches.
-    # (numpy's BLAS sgemm is an fma chain instead and differs from cv2 at
-    # ~22% of f32 values / ~1% of final u8 pixels — the old einsum matched
-    # that proxy, not the reference.)
-    #
-    # Two codegen hazards to defeat while keeping full fusion:
-    #  * the einsum lowering materialized the [..., 3, 3] broadcast product
-    #    (~4.8 GB/batch extra HBM traffic at 1080p B=64) — hence the
-    #    explicit per-channel chain;
-    #  * XLA:CPU's LLVM backend contracts mul+add into fma even across
-    #    optimization_barrier / f64-step / double-bitcast formulations
-    #    (all folded; measured). Each product is therefore "sealed" by an
-    #    integer XOR with a runtime zero the compiler cannot constant-fold,
-    #    pinning the plain two-rounding semantics on every backend for one
-    #    extra VPU op per product.
     rt_zero = (m[0, 0] != m[0, 0]).astype(jnp.int32)  # 0 unless NaN config
 
     def seal(v):
         bits = jax.lax.bitcast_convert_type(v, jnp.int32) ^ rt_zero
         return jax.lax.bitcast_convert_type(bits, f32)
 
-    b = image[..., 0].astype(f32)
-    g = image[..., 1].astype(f32)
-    r = image[..., 2].astype(f32)
-    mixed = [
-        (seal(b * m[o, 0]) + seal(g * m[o, 1])) + seal(r * m[o, 2])
-        + bias[o].astype(f32)
+    bf = b.astype(f32)
+    gf = g.astype(f32)
+    rf = r.astype(f32)
+    return tuple(
+        round_u8(
+            (seal(bf * m[o, 0]) + seal(gf * m[o, 1])) + seal(rf * m[o, 2])
+            + bias[o].astype(f32)
+        )
         for o in range(3)
-    ]
-    return round_u8(jnp.stack(mixed, axis=-1))
+    )
+
+
+@jax.jit
+def color_correct(image: jax.Array, matrix: jax.Array, bias: jax.Array) -> jax.Array:
+    """Args:
+        image:  [..., 3] uint8 BGR.
+        matrix: [3, 3] float32 — rows produce output B,G,R from input (B,G,R).
+        bias:   [3] float32 BGR bias.
+
+    Packed wrapper around color_correct_planes (same arithmetic; the
+    channel-minor slice/stack passes dominate this form's TPU cost — use
+    the planar form in performance paths)."""
+    out = color_correct_planes(
+        image[..., 0], image[..., 1], image[..., 2], matrix, bias
+    )
+    return jnp.stack(out, axis=-1)

@@ -18,8 +18,24 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from raw_image_pipeline_tpu.ops.colorspace import bgr_to_hsv_u8, hsv_to_bgr_u8
+from raw_image_pipeline_tpu.ops.colorspace import (
+    bgr_to_hsv_planes,
+    bgr_to_hsv_u8,
+    hsv_to_bgr_planes,
+    hsv_to_bgr_u8,
+)
 from raw_image_pipeline_tpu.ops.common import round_u8
+
+
+def enhance_planes(b: jax.Array, g: jax.Array, r: jax.Array, gains: jax.Array):
+    """Planar form: three u8 planes -> three u8 planes. Same arithmetic as
+    `enhance` (the packed op slices/stacks around the same planar cores)."""
+    f32 = jnp.float32
+    h, s, v = bgr_to_hsv_planes(b, g, r)
+    h = round_u8(h.astype(f32) * gains[0].astype(f32))
+    s = round_u8(s.astype(f32) * gains[1].astype(f32))
+    v = round_u8(v.astype(f32) * gains[2].astype(f32))
+    return hsv_to_bgr_planes(h, s, v)
 
 
 @jax.jit

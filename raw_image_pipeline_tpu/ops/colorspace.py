@@ -73,12 +73,16 @@ _HDIV = CorrectedTable(
 )
 
 
-@jax.jit
-def bgr_to_hsv_u8(image: jax.Array) -> jax.Array:
-    """Bit-exact replica of cv::cvtColor(COLOR_BGR2HSV) for uint8."""
-    b = image[..., 0].astype(jnp.int32)
-    g = image[..., 1].astype(jnp.int32)
-    r = image[..., 2].astype(jnp.int32)
+def bgr_to_hsv_planes(b: jax.Array, g: jax.Array, r: jax.Array):
+    """Planar core of bgr_to_hsv_u8: three same-shape u8 planes in, three
+    u8 planes (h, s, v) out. Identical arithmetic to the packed form — the
+    packed wrapper just slices/stacks around this — so every exactness
+    claim below covers both. Planar callers skip the channel-minor u8
+    slice/stack passes, which dominate the packed op's TPU cost (measured
+    ~3-20x of the math itself at 1080p; see ROADMAP round-4 notes)."""
+    b = b.astype(jnp.int32)
+    g = g.astype(jnp.int32)
+    r = r.astype(jnp.int32)
     v = jnp.maximum(jnp.maximum(b, g), r)
     mn = jnp.minimum(jnp.minimum(b, g), r)
     diff = v - mn
@@ -90,7 +94,14 @@ def bgr_to_hsv_u8(image: jax.Array) -> jax.Array:
     )
     h = (h_num * _HDIV(diff) + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
     h = h + jnp.where(h < 0, 180, 0)
-    return jnp.stack([h, s, v], axis=-1).astype(jnp.uint8)
+    return h.astype(jnp.uint8), s.astype(jnp.uint8), v.astype(jnp.uint8)
+
+
+@jax.jit
+def bgr_to_hsv_u8(image: jax.Array) -> jax.Array:
+    """Bit-exact replica of cv::cvtColor(COLOR_BGR2HSV) for uint8."""
+    h, s, v = bgr_to_hsv_planes(image[..., 0], image[..., 1], image[..., 2])
+    return jnp.stack([h, s, v], axis=-1)
 
 
 # which of tab[0..3] feeds b,g,r per sector (OpenCV sector_data, RGB order
@@ -111,18 +122,18 @@ def _dekker_fma_1_minus(s: jax.Array, ff: jax.Array) -> jax.Array:
     return fma_f32(-s, ff, jnp.float32(1.0))
 
 
-@jax.jit
-def hsv_to_bgr_u8(image: jax.Array) -> jax.Array:
-    """Bit-exact replica of cv::cvtColor(COLOR_HSV2BGR) for uint8.
+def hsv_to_bgr_planes(h: jax.Array, s: jax.Array, v: jax.Array):
+    """Planar core of hsv_to_bgr_u8 (same arithmetic; see
+    bgr_to_hsv_planes for the planar rationale).
 
     cv2 5.0 computes h*(6/180) in f32, tables
     [v, v*(1-s), v*fma(-s,ff,1), v*fma(s,ff-1,1)] and TRUNCATES the final
     *255 product (no rounding). Verified equal on ALL 256^3 u8 HSV inputs
     (tests/test_pointwise_ops.py)."""
     f32 = jnp.float32
-    h = image[..., 0].astype(f32)
-    s = image[..., 1].astype(f32) * f32(1.0 / 255.0)
-    v = image[..., 2].astype(f32) * f32(1.0 / 255.0)
+    h = h.astype(f32)
+    s = s.astype(f32) * f32(1.0 / 255.0)
+    v = v.astype(f32) * f32(1.0 / 255.0)
 
     hf = h * f32(6.0 / 180.0)
     sector = jnp.floor(hf).astype(jnp.int32)
@@ -141,10 +152,16 @@ def hsv_to_bgr_u8(image: jax.Array) -> jax.Array:
         out = tab[_SECTOR_DATA[0][channel]]
         for sec in range(1, 6):
             out = jnp.where(sector == sec, tab[_SECTOR_DATA[sec][channel]], out)
-        return out
+        return jnp.floor(out * f32(255.0)).astype(jnp.uint8)
 
-    out = jnp.stack([pick(0), pick(1), pick(2)], axis=-1)
-    return jnp.floor(out * f32(255.0)).astype(jnp.uint8)
+    return pick(0), pick(1), pick(2)
+
+
+@jax.jit
+def hsv_to_bgr_u8(image: jax.Array) -> jax.Array:
+    """Bit-exact replica of cv::cvtColor(COLOR_HSV2BGR) for uint8."""
+    b, g, r = hsv_to_bgr_planes(image[..., 0], image[..., 1], image[..., 2])
+    return jnp.stack([b, g, r], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -279,20 +296,14 @@ _LAB_GAMMA = CorrectedTable(_lab_gamma_formula, _GAMMA_TAB)
 _LAB_CBRT = CorrectedTable(_cbrt_formula, _CBRT_TAB)
 
 
-@jax.jit
-def bgr_to_lab_u8(image: jax.Array) -> jax.Array:
-    """Bit-exact replica of cv::cvtColor(COLOR_BGR2Lab) for uint8
-    (sRGB gamma, D65; verified against all 2^24 inputs).
-
-    Both integer tables (256-entry sRGB linearize, 3072-entry cbrt) are
-    served by their float formulas with device-derived sparse corrections
-    (ops/lut.py), exactly matching cv2's softfloat-built host tables.
-    """
+def bgr_to_lab_planes(b: jax.Array, g: jax.Array, r: jax.Array):
+    """Planar core of bgr_to_lab_u8 (same arithmetic; see
+    bgr_to_hsv_planes for the planar rationale)."""
     C = [int(c) for c in _LAB_COEF]
 
-    b = _LAB_GAMMA(image[..., 0].astype(jnp.int32))
-    g = _LAB_GAMMA(image[..., 1].astype(jnp.int32))
-    r = _LAB_GAMMA(image[..., 2].astype(jnp.int32))
+    b = _LAB_GAMMA(b.astype(jnp.int32))
+    g = _LAB_GAMMA(g.astype(jnp.int32))
+    r = _LAB_GAMMA(r.astype(jnp.int32))
 
     def cbrt_tab(v):
         return _LAB_CBRT(jnp.clip(v, 0, _CBRT_TAB_SIZE - 1))
@@ -306,8 +317,21 @@ def bgr_to_lab_u8(image: jax.Array) -> jax.Array:
     L = descale(l_scale * fY + l_shift, _LAB_SHIFT2)
     a = descale(500 * (fX - fY) + 128 * (1 << _LAB_SHIFT2), _LAB_SHIFT2)
     bb = descale(200 * (fY - fZ) + 128 * (1 << _LAB_SHIFT2), _LAB_SHIFT2)
-    out = jnp.stack([L, a, bb], axis=-1)
-    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+    clip = lambda v: jnp.clip(v, 0, 255).astype(jnp.uint8)
+    return clip(L), clip(a), clip(bb)
+
+
+@jax.jit
+def bgr_to_lab_u8(image: jax.Array) -> jax.Array:
+    """Bit-exact replica of cv::cvtColor(COLOR_BGR2Lab) for uint8
+    (sRGB gamma, D65; verified against all 2^24 inputs).
+
+    Both integer tables (256-entry sRGB linearize, 3072-entry cbrt) are
+    served by their float formulas with device-derived sparse corrections
+    (ops/lut.py), exactly matching cv2's softfloat-built host tables.
+    """
+    L, a, bb = bgr_to_lab_planes(image[..., 0], image[..., 1], image[..., 2])
+    return jnp.stack([L, a, bb], axis=-1)
 
 
 # --- exact integer Lab->BGR (cv2 5.0 Lab2RGBinteger path) ------------------
@@ -456,14 +480,13 @@ def _lab2_ab_to_xz(i: jax.Array) -> jax.Array:
     return jnp.where(i <= 3390, lin, cub)
 
 
-@jax.jit
-def lab_to_bgr_u8(image: jax.Array) -> jax.Array:
-    """Bit-exact replica of cv::cvtColor(COLOR_Lab2BGR) for uint8
-    (verified against all 2^24 inputs; see module docstring above)."""
+def lab_to_bgr_planes(L: jax.Array, a: jax.Array, b: jax.Array):
+    """Planar core of lab_to_bgr_u8 (same arithmetic; see
+    bgr_to_hsv_planes for the planar rationale)."""
     i32 = jnp.int32
-    L = image[..., 0].astype(i32)
-    a = image[..., 1].astype(i32)
-    b = image[..., 2].astype(i32)
+    L = L.astype(i32)
+    a = a.astype(i32)
+    b = b.astype(i32)
 
     y = _LAB2_Y(L)
     ify = _LAB2_IFY(L)
@@ -478,10 +501,17 @@ def lab_to_bgr_u8(image: jax.Array) -> jax.Array:
     def channel(row):
         s = C[row][0] * x + C[row][1] * y + C[row][2] * z
         idx = jnp.clip((s + 8192) >> 14, 0, 8191)
-        return _LAB2_INV_GAMMA(idx)
+        return _LAB2_INV_GAMMA(idx).astype(jnp.uint8)
 
-    out = jnp.stack([channel(2), channel(1), channel(0)], axis=-1)
-    return out.astype(jnp.uint8)
+    return channel(2), channel(1), channel(0)
+
+
+@jax.jit
+def lab_to_bgr_u8(image: jax.Array) -> jax.Array:
+    """Bit-exact replica of cv::cvtColor(COLOR_Lab2BGR) for uint8
+    (verified against all 2^24 inputs; see module docstring above)."""
+    b, g, r = lab_to_bgr_planes(image[..., 0], image[..., 1], image[..., 2])
+    return jnp.stack([b, g, r], axis=-1)
 
 
 # ---------------------------------------------------------------------------

@@ -201,6 +201,59 @@ def remap_precompute(
     return base, weights
 
 
+def _remap_rows(arr: jax.Array, base: jax.Array, weights: jax.Array,
+                h: int, w: int) -> jax.Array:
+    """Shared gather/blend core: arr [H*W, K] u8 (any K-column ordering;
+    weights broadcast over K) -> [N, K] u8 at the precomputed base/weights.
+    """
+    f32 = jnp.float32
+    k = arr.shape[1]
+    # tap pack as overlapping slices of ONE zero-padded buffer — measured
+    # 3.9 ms vs 20.6 ms for the roll-based concat at [2.07M, 768B] on v5e
+    # (rolls lower to wrap-around copies; pad+slice is a straight strided
+    # copy). Out-of-image taps land in the zero pad and carry zero weight
+    # by construction, same as the rolls' wrapped rows did.
+    arrp = jnp.pad(arr, ((0, w + 1), (0, 0)))
+    packed = jnp.concatenate(
+        [
+            arrp[: h * w],
+            arrp[1 : h * w + 1],
+            arrp[w : h * w + w],
+            arrp[w + 1 : h * w + w + 1],
+        ],
+        axis=1,
+    )  # [H*W, 4K]
+    # materialize the pack exactly once: without the barrier XLA re-fuses
+    # the pack construction into each chunk's gather operand and rebuilds
+    # it per chunk (measured as the in-chain gather running at 16 ns/idx
+    # vs 9.3 ns/idx standalone)
+    packed = jax.lax.optimization_barrier(packed)
+
+    # XLA TPU row-gathers degrade superlinearly with index count (measured
+    # on v5e at 768-byte rows: 2.07M idx -> 16.5 ns/idx, ~520k-idx chunks
+    # -> 9.3 ns/idx), so chunk the output so every single gather stays at
+    # the fast rate; the blend fuses into each gather's consumer and only
+    # the small u8 results concatenate
+    n = int(base.shape[0])
+    n_chunks = max(1, -(-n // 550_000))
+    chunk = -(-n // n_chunks)
+    outs = []
+    for s in range(n_chunks):
+        sl = slice(s * chunk, min((s + 1) * chunk, n))
+        rows = jnp.take(packed, base[sl], axis=0)  # [Nc, 4K] u8
+        # tap groups as column slices (a [N,4,K] reshape gets a tile-padded
+        # layout); blend in f32, round to u8 before the output transpose so
+        # the transposed temp is 4x smaller
+        acc = (
+            rows[:, 0:k].astype(f32) * weights[0][sl, None]
+            + rows[:, k:2 * k].astype(f32) * weights[1][sl, None]
+            + rows[:, 2 * k:3 * k].astype(f32) * weights[2][sl, None]
+            + rows[:, 3 * k:4 * k].astype(f32) * weights[3][sl, None]
+        )
+        outs.append(round_u8(acc))
+    return outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=0)
+
+
 @partial(jax.jit, static_argnames=("out_hw", "src_hw", "batch_minor"))
 def remap_bilinear_u8(
     image: jax.Array, base: jax.Array, weights: jax.Array,
@@ -246,57 +299,45 @@ def remap_bilinear_u8(
         lead = image.shape[:-3]
         arr = image.reshape((-1, h * w, c))
         arr = jnp.moveaxis(arr, 0, 1).reshape(h * w, -1)
-    k = arr.shape[1]
-    # tap pack as overlapping slices of ONE zero-padded buffer — measured
-    # 3.9 ms vs 20.6 ms for the roll-based concat at [2.07M, 768B] on v5e
-    # (rolls lower to wrap-around copies; pad+slice is a straight strided
-    # copy). Out-of-image taps land in the zero pad and carry zero weight
-    # by construction, same as the rolls' wrapped rows did.
-    arrp = jnp.pad(arr, ((0, w + 1), (0, 0)))
-    packed = jnp.concatenate(
-        [
-            arrp[: h * w],
-            arrp[1 : h * w + 1],
-            arrp[w : h * w + w],
-            arrp[w + 1 : h * w + w + 1],
-        ],
-        axis=1,
-    )  # [H*W, 4K]
-    # materialize the pack exactly once: without the barrier XLA re-fuses
-    # the pack construction into each chunk's gather operand and rebuilds
-    # it per chunk (measured as the in-chain gather running at 16 ns/idx
-    # vs 9.3 ns/idx standalone)
-    packed = jax.lax.optimization_barrier(packed)
-
-    # XLA TPU row-gathers degrade superlinearly with index count (measured
-    # on v5e at 768-byte rows: 2.07M idx -> 16.5 ns/idx, ~520k-idx chunks
-    # -> 9.3 ns/idx), so chunk the output so every single gather stays at
-    # the fast rate; the blend fuses into each gather's consumer and only
-    # the small u8 results concatenate
-    n = int(base.shape[0])
-    n_chunks = max(1, -(-n // 550_000))
-    chunk = -(-n // n_chunks)
-    outs = []
-    for s in range(n_chunks):
-        sl = slice(s * chunk, min((s + 1) * chunk, n))
-        rows = jnp.take(packed, base[sl], axis=0)  # [Nc, 4K] u8
-        # tap groups as column slices (a [N,4,K] reshape gets a tile-padded
-        # layout); blend in f32, round to u8 before the output transpose so
-        # the transposed temp is 4x smaller
-        acc = (
-            rows[:, 0:k].astype(f32) * weights[0][sl, None]
-            + rows[:, k:2 * k].astype(f32) * weights[1][sl, None]
-            + rows[:, 2 * k:3 * k].astype(f32) * weights[2][sl, None]
-            + rows[:, 3 * k:4 * k].astype(f32) * weights[3][sl, None]
-        )
-        outs.append(round_u8(acc))
-    out_u8 = outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=0)
+    out_u8 = _remap_rows(arr, base, weights, h, w)
 
     if batch_minor:
         return out_u8.reshape((ho, wo) + lead + (c,))
     out = out_u8.reshape(ho * wo, -1, c)
     out = jnp.moveaxis(out, 1, 0).reshape(lead + (ho, wo, c))
     return out
+
+
+@partial(jax.jit, static_argnames=("out_hw", "src_hw"))
+def remap_bilinear_u8_planes(
+    planes, base: jax.Array, weights: jax.Array,
+    out_hw: Tuple[int, int],
+    src_hw: Tuple[int, int] | None = None,
+):
+    """Planar batch-minor remap: tuple of [H, W, B] u8 planes ->
+    [Ho, Wo, C, B] u8 (channel-blocked — planes stay contiguous; the
+    caller's final NHWC move is one transpose, same as the packed path).
+
+    Identical gather/blend arithmetic to remap_bilinear_u8; the only
+    difference is the K-column ordering of the flattened source
+    ([c-block][b] instead of [b-block][c]), which the weights broadcast
+    over unchanged — bit-identical per pixel."""
+    h, w = planes[0].shape[0], planes[0].shape[1]
+    if src_hw is not None and (h, w) != tuple(src_hw):
+        raise ValueError(
+            f"remap precomputed for source {tuple(src_hw)} but got frame "
+            f"({h}, {w}); rebuild the pipeline for this frame size"
+        )
+    ho, wo = out_hw
+    c = len(planes)
+    # barrier: without it XLA's layout assignment propagates the pack
+    # concat's layout preferences back through the whole planar pointwise
+    # stretch (measured as a ~2x whole-chain regression)
+    planes = jax.lax.optimization_barrier(tuple(planes))
+    arr = jnp.concatenate([p.reshape(h * w, -1) for p in planes], axis=1)
+    out_u8 = _remap_rows(arr, base, weights, h, w)
+    lead = planes[0].shape[2:]
+    return out_u8.reshape((ho, wo, c) + lead)
 
 
 def remap_bilinear_u8_from_maps(

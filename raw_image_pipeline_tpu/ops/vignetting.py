@@ -17,7 +17,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from raw_image_pipeline_tpu.ops.colorspace import bgr_to_lab_u8, lab_to_bgr_u8
+from raw_image_pipeline_tpu.ops.colorspace import (
+    bgr_to_lab_planes,
+    bgr_to_lab_u8,
+    lab_to_bgr_planes,
+    lab_to_bgr_u8,
+)
 from raw_image_pipeline_tpu.ops.common import round_u8
 
 
@@ -34,6 +39,15 @@ def build_vignetting_mask(height: int, width: int, scale: float, a2: float, a4: 
         k = k / mx
     k = k * scale + 1.0
     return k.astype(np.float32)
+
+
+def correct_planes(b: jax.Array, g: jax.Array, r: jax.Array, mask: jax.Array):
+    """Planar form: three u8 planes + broadcast-compatible f32 mask ->
+    three u8 planes. Same arithmetic as `correct` (bit-identical; the
+    packed op slices/stacks around the same planar cores)."""
+    L, a, bb = bgr_to_lab_planes(b, g, r)
+    L = round_u8(L.astype(jnp.float32) * mask.astype(jnp.float32))
+    return lab_to_bgr_planes(L, a, bb)
 
 
 @jax.jit
