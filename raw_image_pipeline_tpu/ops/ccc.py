@@ -409,6 +409,15 @@ def apply_gains(image: jax.Array, gains: jax.Array) -> jax.Array:
     return round_u8(image.astype(jnp.float32) * gains[..., None, None, :])
 
 
+def apply_gains_planes(planes, gains: jax.Array):
+    """Planar form of apply_gains: tuple of [..., H, W] u8 planes (BGR
+    order) -> tuple. Same arithmetic — bit-identical per channel."""
+    return tuple(
+        round_u8(p.astype(jnp.float32) * gains[..., c, None, None])
+        for c, p in enumerate(planes)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Kalman temporal consistency (ccc.cpp:180-206, 300-340)
 # ---------------------------------------------------------------------------

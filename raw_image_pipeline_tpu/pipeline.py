@@ -381,24 +381,60 @@ def make_isp_fn(
         # stages would crash its cv ops outright, so they are skipped too
         is_color = img.ndim >= 3 and img.shape[-1] == 3
 
+        # Early PLANAR unpack (see the "Internal PLANAR representation"
+        # comment below for the rationale): when white balance is CCC or
+        # disabled, the planes can be carried from the debayer output on —
+        # the flip, CCC resize/gains and every later pointwise stage are
+        # plane-in/plane-out, so the packed [..., 3] image is never
+        # materialized at all on the fast path. The histogram-stat WB
+        # methods (simple/grey_world/learned/pca) keep the packed form
+        # until after WB.
+        planar_early = (
+            not debug and is_color and img.ndim == 4
+            and (not wb.enabled or wb.method == "ccc")
+        )
+        if planar_early:
+            planes = (img[..., 0], img[..., 1], img[..., 2])
+
         # 2. flip (already applied pre-debayer when hoist_flip)
         with jax.named_scope("isp_flip"):
             if config.flip.enabled and not hoist_flip:
-                img = flip_op(
-                    img, config.flip.angle,
-                    spatial_axes=(-3, -2) if is_color else (-2, -1),
-                )
+                if planar_early:
+                    planes = tuple(
+                        flip_op(p, config.flip.angle, spatial_axes=(-2, -1))
+                        for p in planes
+                    )
+                else:
+                    img = flip_op(
+                        img, config.flip.angle,
+                        spatial_axes=(-3, -2) if is_color else (-2, -1),
+                    )
         if keep_intermediates:
-            outputs["debayered"] = img  # flip-module snapshot (flip.cpp:59-61)
+            # flip-module snapshot (flip.cpp:59-61)
+            outputs["debayered"] = (
+                jnp.stack(planes, axis=-1) if planar_early else img
+            )
         dump("01_flip", img)
 
         # 3. white balance
         with jax.named_scope("isp_white_balance"):
             if wb.enabled and is_color:
                 if use_ccc:
-                    small = ccc_ops.resize_linear_u8(
-                        img, ccc_ops.SMALL_H, ccc_ops.SMALL_W
-                    )
+                    if planar_early:
+                        small = jnp.stack(
+                            [
+                                ccc_ops.resize_linear_u8(
+                                    p[..., None], ccc_ops.SMALL_H,
+                                    ccc_ops.SMALL_W,
+                                )[..., 0]
+                                for p in planes
+                            ],
+                            axis=-1,
+                        )
+                    else:
+                        small = ccc_ops.resize_linear_u8(
+                            img, ccc_ops.SMALL_H, ccc_ops.SMALL_W
+                        )
                     hist = ccc_ops.log_chroma_histogram(
                         small, wb.saturation_bright_thr, wb.saturation_dark_thr
                     )
@@ -416,7 +452,10 @@ def make_isp_fn(
                             # batch axis = independent cameras, one track each
                             state, uv = ccc_ops.kalman_update(state, uv)
                     gains = ccc_ops.gains_from_uv(uv)
-                    img = ccc_ops.apply_gains(img, gains)
+                    if planar_early:
+                        planes = ccc_ops.apply_gains_planes(planes, gains)
+                    else:
+                        img = ccc_ops.apply_gains(img, gains)
                 elif wb.method == "simple":
                     img = balance_white_simple(img, wb.clipping_percentile)
                 elif wb.method in ("grey_world", "gray_world"):
@@ -441,7 +480,10 @@ def make_isp_fn(
             run_undist and is_color and img.ndim == 4 and not debug
         )
         if batch_minor:
-            img = jnp.transpose(img, (1, 2, 0, 3))
+            if planar_early:
+                planes = tuple(jnp.transpose(p, (1, 2, 0)) for p in planes)
+            else:
+                img = jnp.transpose(img, (1, 2, 0, 3))
 
         # Internal PLANAR representation (three separate u8 channel planes)
         # for the pointwise stretch: every colorspace/matrix stage slices
@@ -455,7 +497,7 @@ def make_isp_fn(
         # wrappers around the same planar cores. Debug mode keeps the
         # packed reference layout for its dump points.
         planar = is_color and img.ndim == 4 and not debug
-        if planar:
+        if planar and not planar_early:
             planes = (img[..., 0], img[..., 1], img[..., 2])
 
         # 4. color calibration (3-channel only, like WB — the reference's
