@@ -233,9 +233,11 @@ def _remap_rows(arr: jax.Array, base: jax.Array, weights: jax.Array,
     # on v5e at 768-byte rows: 2.07M idx -> 16.5 ns/idx, ~520k-idx chunks
     # -> 9.3 ns/idx), so chunk the output so every single gather stays at
     # the fast rate; the blend fuses into each gather's consumer and only
-    # the small u8 results concatenate
+    # the small u8 results concatenate. Chunk-size scan (v5e, 1080p B=64,
+    # planar form): 65k->361, 130k->348, 180k->374, 260k->375, 550k->419,
+    # 1.1M->409 us/frame — 130k is the sweet spot.
     n = int(base.shape[0])
-    n_chunks = max(1, -(-n // 550_000))
+    n_chunks = max(1, -(-n // 130_000))
     chunk = -(-n // n_chunks)
     outs = []
     for s in range(n_chunks):
