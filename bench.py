@@ -409,6 +409,55 @@ def ccc_response_precision_check(n=64):
     return nd
 
 
+def colorcal_semantics_check():
+    """On-chip recertification that color_correct's sealed chain computes
+    the PLAIN left-associative two-rounding chain (cv::gemm semantics) —
+    compared against an f64-step oracle (each f32 op emulated as the exact
+    f64 op rounded to f32, which is rn() exactly) over all 2^24 u8 triples
+    with the bench matrix. Detects any future backend starting to contract
+    the sealed products into fmas."""
+    import jax
+    import jax.numpy as jnp
+
+    from raw_image_pipeline_tpu.ops.color_calibration import color_correct_planes
+
+    f32, f64 = jnp.float32, jnp.float64
+    m = jnp.asarray(np.array(
+        [[1.8, -0.3, 0.1], [0.09, 1.2, -0.1], [-0.24, -0.22, 2.1]], np.float32))
+    bias = jnp.asarray(np.array([1.5, -2.0, 3.0], np.float32))
+
+    with jax.enable_x64(True):
+        @jax.jit
+        def diff():
+            i = jnp.arange(256 * 256 * 256, dtype=jnp.int32)
+            b = ((i >> 16) & 0xFF).astype(jnp.uint8)
+            g = ((i >> 8) & 0xFF).astype(jnp.uint8)
+            r = (i & 0xFF).astype(jnp.uint8)
+            got = color_correct_planes(b, g, r, m, bias)
+            total = jnp.int32(0)
+            # f64-step oracle: each f32 op emulated as the exact f64 op
+            # rounded to f32 (== rn by construction) — contraction-proof
+            bf, gf, rf = (x.astype(f32).astype(f64) for x in (b, g, r))
+            for o in range(3):
+                p0 = (bf * m[o, 0].astype(f64)).astype(f32).astype(f64)
+                p1 = (gf * m[o, 1].astype(f64)).astype(f32).astype(f64)
+                p2 = (rf * m[o, 2].astype(f64)).astype(f32).astype(f64)
+                s = ((p0 + p1).astype(f32).astype(f64) + p2).astype(f32)
+                want = jnp.clip(
+                    jnp.rint(s + bias[o]), 0, 255
+                ).astype(jnp.uint8)
+                total = total + jnp.sum((got[o] != want).astype(jnp.int32))
+            return total
+
+        nd = int(np.asarray(diff()))
+    log(f"colorcal plain-chain semantics check: {nd} mismatches over 2^24")
+    if nd:
+        raise AssertionError(
+            f"COLORCAL CHAIN SEMANTICS REGRESSION: {nd} mismatches"
+        )
+    return nd
+
+
 def cpu_fps(iters=12, h=1080, w=1920):
     """Reference chain composed from cv2 primitives (the reference's CPU
     backend calls), one frame at a time like the reference node. Thresholds
@@ -597,6 +646,12 @@ def main():
         log(f"!!! {e}")
     except Exception as e:
         log(f"pallas histogram check skipped: {e}")
+    try:
+        colorcal_semantics_check()
+    except AssertionError as e:
+        log(f"!!! {e}")
+    except Exception as e:
+        log(f"colorcal semantics check skipped: {e}")
     try:
         tpu_scaling()
     except Exception as e:
