@@ -208,21 +208,21 @@ def _remap_rows(arr: jax.Array, base: jax.Array, weights: jax.Array,
     """
     f32 = jnp.float32
     k = arr.shape[1]
-    # tap pack as overlapping slices of ONE zero-padded buffer — measured
-    # 3.9 ms vs 20.6 ms for the roll-based concat at [2.07M, 768B] on v5e
-    # (rolls lower to wrap-around copies; pad+slice is a straight strided
-    # copy). Out-of-image taps land in the zero pad and carry zero weight
-    # by construction, same as the rolls' wrapped rows did.
-    arrp = jnp.pad(arr, ((0, w + 1), (0, 0)))
-    packed = jnp.concatenate(
-        [
-            arrp[: h * w],
-            arrp[1 : h * w + 1],
-            arrp[w : h * w + w],
-            arrp[w + 1 : h * w + w + 1],
-        ],
-        axis=1,
-    )  # [H*W, 4K]
+    # 2-slot tap pack: row i holds the horizontal pair [arr[i], arr[i+1]];
+    # the vertical pair comes from a SECOND gather at base + W from the
+    # same pack. vs the 4-slot/one-gather form this halves the pack write
+    # (12.5 vs 25 MB/frame) at the cost of 2x gather indices — measured
+    # 322 vs 477 us/frame for the full remap at 1080p B=64 on v5e (the
+    # round-2 "wash" verdict inverted at the tuned 130k chunking). The
+    # pack is overlapping slices of ONE zero-padded buffer (rolls lower to
+    # wrap-around copies; pad+slice is a straight strided copy); the +1
+    # slot of the last pixel lands in the zero pad row and out-of-image
+    # taps carry zero weight by construction.
+    arrp = jnp.pad(arr, ((0, 1), (0, 0)))
+    packed = jnp.concatenate([arrp[: h * w], arrp[1 : h * w + 1]], axis=1)
+    # base is anchor-clipped to row <= h-2 so base + w stays in range; the
+    # extra w zero rows are cheap insurance for degenerate calibrations
+    packed = jnp.pad(packed, ((0, w), (0, 0)))  # [H*W + W, 2K]
     # materialize the pack exactly once: without the barrier XLA re-fuses
     # the pack construction into each chunk's gather operand and rebuilds
     # it per chunk (measured as the in-chain gather running at 16 ns/idx
@@ -234,23 +234,25 @@ def _remap_rows(arr: jax.Array, base: jax.Array, weights: jax.Array,
     # -> 9.3 ns/idx), so chunk the output so every single gather stays at
     # the fast rate; the blend fuses into each gather's consumer and only
     # the small u8 results concatenate. Chunk-size scan (v5e, 1080p B=64,
-    # planar form): 65k->361, 130k->348, 180k->374, 260k->375, 550k->419,
-    # 1.1M->409 us/frame — 130k is the sweet spot.
+    # planar 4-slot form): 65k->361, 130k->348, 180k->374, 260k->375,
+    # 550k->419 us/frame — 130k adopted.
     n = int(base.shape[0])
     n_chunks = max(1, -(-n // 130_000))
     chunk = -(-n // n_chunks)
     outs = []
     for s in range(n_chunks):
         sl = slice(s * chunk, min((s + 1) * chunk, n))
-        rows = jnp.take(packed, base[sl], axis=0)  # [Nc, 4K] u8
-        # tap groups as column slices (a [N,4,K] reshape gets a tile-padded
+        bs = base[sl]
+        top = jnp.take(packed, bs, axis=0)  # [Nc, 2K] u8
+        bot = jnp.take(packed, bs + w, axis=0)  # [Nc, 2K] u8
+        # tap groups as column slices (a [N,2,K] reshape gets a tile-padded
         # layout); blend in f32, round to u8 before the output transpose so
         # the transposed temp is 4x smaller
         acc = (
-            rows[:, 0:k].astype(f32) * weights[0][sl, None]
-            + rows[:, k:2 * k].astype(f32) * weights[1][sl, None]
-            + rows[:, 2 * k:3 * k].astype(f32) * weights[2][sl, None]
-            + rows[:, 3 * k:4 * k].astype(f32) * weights[3][sl, None]
+            top[:, 0:k].astype(f32) * weights[0][sl, None]
+            + top[:, k:2 * k].astype(f32) * weights[1][sl, None]
+            + bot[:, 0:k].astype(f32) * weights[2][sl, None]
+            + bot[:, k:2 * k].astype(f32) * weights[3][sl, None]
         )
         outs.append(round_u8(acc))
     return outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=0)
