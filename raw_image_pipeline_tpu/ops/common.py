@@ -84,3 +84,26 @@ def lut_select(idx, table):
         cur = [jnp.where(b == 0, cur[i], cur[i + 1]) for i in range(0, len(cur), 2)]
         level += 1
     return cur[0]
+
+
+def seal_f32(v, rt_zero_i32):
+    """Pin a f32 intermediate against compiler fma contraction.
+
+    XLA:CPU's LLVM backend contracts mul+add chains into fmas, and whether
+    it does depends on the emitted fusion's loop structure — so the same
+    formula can round differently between program variants (measured: the
+    GSPMD-partitioned remap blend diverged from the unpartitioned one at
+    ~3-per-million pixels). XORing the value's bits with a runtime zero the
+    compiler cannot constant-fold forces the product to be materialized
+    with its own rounding, making the plain two-rounding semantics hold on
+    every backend and under every partitioning. optimization_barrier,
+    f64 round-trips and double-bitcasts are all folded by LLVM; this
+    survives (see ops/color_calibration.py, where the trick originated).
+
+    rt_zero_i32: an int32 zero derived from runtime data, e.g.
+    (x != x).astype(int32) for a known-non-NaN x.
+    """
+    import jax
+
+    bits = jax.lax.bitcast_convert_type(v, jnp.int32) ^ rt_zero_i32
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)

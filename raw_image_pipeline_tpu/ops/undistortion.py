@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from raw_image_pipeline_tpu.ops.common import round_u8
+from raw_image_pipeline_tpu.ops.common import round_u8, seal_f32
 
 
 # ---------------------------------------------------------------------------
@@ -201,28 +201,73 @@ def remap_precompute(
     return base, weights
 
 
-def _remap_rows(arr: jax.Array, base: jax.Array, weights: jax.Array,
-                h: int, w: int) -> jax.Array:
-    """Shared gather/blend core: arr [H*W, K] u8 (any K-column ordering;
-    weights broadcast over K) -> [N, K] u8 at the precomputed base/weights.
+# Default gather tuning (slots, chunk): 2-slot pack with paired gathers,
+# 130k-index chunks — scan-tuned for the single-camera chain at 1080p B=64
+# on v5e (see _remap_rows). NEVER run this gather under jax.vmap: a batched
+# gather loses the chunked fast rate entirely and adds a huge
+# batch-independent cost (~150 ms/dispatch at 1080p x4 cameras, measured
+# round 4). Multi-camera remaps use the camera-blocked form instead
+# (n_cameras > 1 below): per-camera packs row-concatenated into one buffer
+# and the per-camera indices offset into it — one flat chunked gather,
+# same fast rate.
+DEFAULT_REMAP_TUNING = (2, 130_000)
+
+
+def _remap_rows(arrs, base: jax.Array, weights: jax.Array,
+                h: int, w: int,
+                tuning: Tuple[int, int] = DEFAULT_REMAP_TUNING) -> jax.Array:
+    """Shared gather/blend core.
+
+    arrs: list of per-camera [H*W, K] u8 sources (any K-column ordering;
+    weights broadcast over K). base/weights: flat [N] / [4, N] when one
+    camera, stacked [C, N] / [C, 4, N] when len(arrs) == C > 1 (row
+    indices are per-camera-local; the camera block offsets are applied
+    here). Returns [C*N, K] u8 rows, camera-major.
+
+    tuning = (slots, chunk_size): slots=2 packs row i as the horizontal
+    pair [arr[i], arr[i+1]] and fetches the vertical pair with a SECOND
+    gather at base + W — half the pack write (12.5 vs 25 MB/frame) for 2x
+    gather indices; measured 322 vs 477 us/frame for the full remap at
+    1080p B=64 on v5e (the round-2 "wash" verdict inverted at the tuned
+    130k chunking). slots=4 packs all four taps in one row and spends one
+    index per output pixel. Both are bit-identical per pixel.
     """
     f32 = jnp.float32
-    k = arr.shape[1]
-    # 2-slot tap pack: row i holds the horizontal pair [arr[i], arr[i+1]];
-    # the vertical pair comes from a SECOND gather at base + W from the
-    # same pack. vs the 4-slot/one-gather form this halves the pack write
-    # (12.5 vs 25 MB/frame) at the cost of 2x gather indices — measured
-    # 322 vs 477 us/frame for the full remap at 1080p B=64 on v5e (the
-    # round-2 "wash" verdict inverted at the tuned 130k chunking). The
-    # pack is overlapping slices of ONE zero-padded buffer (rolls lower to
-    # wrap-around copies; pad+slice is a straight strided copy); the +1
-    # slot of the last pixel lands in the zero pad row and out-of-image
+    k = arrs[0].shape[1]
+    slots, chunk_size = tuning
+
+    # The pack is overlapping slices of ONE zero-padded buffer (rolls
+    # lower to wrap-around copies; pad+slice is a straight strided copy);
+    # slots of the last pixels land in the zero pad rows and out-of-image
     # taps carry zero weight by construction.
-    arrp = jnp.pad(arr, ((0, 1), (0, 0)))
-    packed = jnp.concatenate([arrp[: h * w], arrp[1 : h * w + 1]], axis=1)
-    # base is anchor-clipped to row <= h-2 so base + w stays in range; the
-    # extra w zero rows are cheap insurance for degenerate calibrations
-    packed = jnp.pad(packed, ((0, w), (0, 0)))  # [H*W + W, 2K]
+    def make_pack(arr):
+        if slots == 2:
+            arrp = jnp.pad(arr, ((0, 1), (0, 0)))
+            p = jnp.concatenate([arrp[: h * w], arrp[1 : h * w + 1]], axis=1)
+            # base is anchor-clipped to row <= h-2 so base + w stays in
+            # range; the extra w zero rows are cheap insurance for
+            # degenerate calibrations
+            return jnp.pad(p, ((0, w), (0, 0)))  # [H*W + W, 2K]
+        arrp = jnp.pad(arr, ((0, w + 1), (0, 0)))
+        return jnp.concatenate(
+            [
+                arrp[: h * w],
+                arrp[1 : h * w + 1],
+                arrp[w : h * w + w],
+                arrp[w + 1 : h * w + w + 1],
+            ],
+            axis=1,
+        )  # [H*W, 4K]
+
+    packs = [make_pack(a) for a in arrs]
+    block = packs[0].shape[0]  # rows per camera block
+    packed = packs[0] if len(packs) == 1 else jnp.concatenate(packs, axis=0)
+    if len(arrs) > 1:
+        # per-camera-local row indices -> global rows in the concatenated
+        # pack; weights flatten camera-major to match the output rows
+        offs = (jnp.arange(len(arrs), dtype=base.dtype) * block)[:, None]
+        base = (base + offs).reshape(-1)
+        weights = jnp.moveaxis(weights, 1, 0).reshape(4, -1)
     # materialize the pack exactly once: without the barrier XLA re-fuses
     # the pack construction into each chunk's gather operand and rebuilds
     # it per chunk (measured as the in-chain gather running at 16 ns/idx
@@ -234,36 +279,51 @@ def _remap_rows(arr: jax.Array, base: jax.Array, weights: jax.Array,
     # -> 9.3 ns/idx), so chunk the output so every single gather stays at
     # the fast rate; the blend fuses into each gather's consumer and only
     # the small u8 results concatenate. Chunk-size scan (v5e, 1080p B=64,
-    # planar 4-slot form): 65k->361, 130k->348, 180k->374, 260k->375,
-    # 550k->419 us/frame — 130k adopted.
+    # planar 2-slot form): 65k->361, 130k->348, 180k->374, 260k->375,
+    # 550k->419 us/frame — 130k adopted for the single-camera default.
     n = int(base.shape[0])
-    n_chunks = max(1, -(-n // 130_000))
+    n_chunks = max(1, -(-n // chunk_size))
     chunk = -(-n // n_chunks)
+    # runtime zero for the blend seal (weights are finite by construction)
+    rt_zero = (weights[0, 0] != weights[0, 0]).astype(jnp.int32)
     outs = []
     for s in range(n_chunks):
         sl = slice(s * chunk, min((s + 1) * chunk, n))
         bs = base[sl]
-        top = jnp.take(packed, bs, axis=0)  # [Nc, 2K] u8
-        bot = jnp.take(packed, bs + w, axis=0)  # [Nc, 2K] u8
-        # tap groups as column slices (a [N,2,K] reshape gets a tile-padded
-        # layout); blend in f32, round to u8 before the output transpose so
-        # the transposed temp is 4x smaller
+        # tap groups as column slices (a [N,slots,K] reshape gets a
+        # tile-padded layout); blend in f32, round to u8 before the output
+        # transpose so the transposed temp is 4x smaller
+        if slots == 2:
+            top = jnp.take(packed, bs, axis=0)  # [Nc, 2K] u8
+            bot = jnp.take(packed, bs + w, axis=0)  # [Nc, 2K] u8
+            taps = (top[:, 0:k], top[:, k:2 * k],
+                    bot[:, 0:k], bot[:, k:2 * k])
+        else:
+            rows = jnp.take(packed, bs, axis=0)  # [Nc, 4K] u8
+            taps = tuple(rows[:, i * k:(i + 1) * k] for i in range(4))
+        # each product sealed against fma contraction so the plain
+        # left-associative two-rounding chain holds identically in every
+        # program variant (the GSPMD-partitioned blend measurably diverged
+        # from the unpartitioned one on CPU without this; see seal_f32)
         acc = (
-            top[:, 0:k].astype(f32) * weights[0][sl, None]
-            + top[:, k:2 * k].astype(f32) * weights[1][sl, None]
-            + bot[:, 0:k].astype(f32) * weights[2][sl, None]
-            + bot[:, k:2 * k].astype(f32) * weights[3][sl, None]
+            seal_f32(taps[0].astype(f32) * weights[0][sl, None], rt_zero)
+            + seal_f32(taps[1].astype(f32) * weights[1][sl, None], rt_zero)
+            + seal_f32(taps[2].astype(f32) * weights[2][sl, None], rt_zero)
+            + seal_f32(taps[3].astype(f32) * weights[3][sl, None], rt_zero)
         )
         outs.append(round_u8(acc))
     return outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=0)
 
 
-@partial(jax.jit, static_argnames=("out_hw", "src_hw", "batch_minor"))
+@partial(jax.jit, static_argnames=("out_hw", "src_hw", "batch_minor",
+                                   "tuning", "n_cameras"))
 def remap_bilinear_u8(
     image: jax.Array, base: jax.Array, weights: jax.Array,
     out_hw: Tuple[int, int],
     src_hw: Tuple[int, int] | None = None,
     batch_minor: bool = False,
+    tuning: Tuple[int, int] = DEFAULT_REMAP_TUNING,
+    n_cameras: int = 1,
 ) -> jax.Array:
     """cv::remap(INTER_LINEAR, BORDER_CONSTANT, 0) with precomputed
     (base, weights) from remap_precompute.
@@ -296,6 +356,28 @@ def remap_bilinear_u8(
     ho, wo = out_hw
     f32 = jnp.float32
 
+    if n_cameras > 1:
+        # camera-blocked form (see remap_bilinear_u8_planes): batch axis is
+        # camera-major, base/weights stacked [n_cameras, ...]
+        if batch_minor:
+            bc = image.shape[2] // n_cameras
+            arrs = [
+                image[:, :, cam * bc:(cam + 1) * bc, :].reshape(h * w, bc * c)
+                for cam in range(n_cameras)
+            ]
+            out_u8 = _remap_rows(arrs, base, weights, h, w, tuning)
+            return out_u8.reshape((n_cameras, ho, wo, bc, c))
+        bc = image.shape[0] // n_cameras
+        arrs = [
+            jnp.moveaxis(
+                image[cam * bc:(cam + 1) * bc].reshape(bc, h * w, c), 0, 1
+            ).reshape(h * w, bc * c)
+            for cam in range(n_cameras)
+        ]
+        out_u8 = _remap_rows(arrs, base, weights, h, w, tuning)
+        out = jnp.moveaxis(out_u8.reshape(n_cameras, ho * wo, bc, c), 2, 1)
+        return out.reshape(n_cameras * bc, ho, wo, c)
+
     if batch_minor:
         lead = image.shape[2:-1]
         arr = image.reshape(h * w, -1)
@@ -303,7 +385,7 @@ def remap_bilinear_u8(
         lead = image.shape[:-3]
         arr = image.reshape((-1, h * w, c))
         arr = jnp.moveaxis(arr, 0, 1).reshape(h * w, -1)
-    out_u8 = _remap_rows(arr, base, weights, h, w)
+    out_u8 = _remap_rows([arr], base, weights, h, w, tuning)
 
     if batch_minor:
         return out_u8.reshape((ho, wo) + lead + (c,))
@@ -312,11 +394,13 @@ def remap_bilinear_u8(
     return out
 
 
-@partial(jax.jit, static_argnames=("out_hw", "src_hw"))
+@partial(jax.jit, static_argnames=("out_hw", "src_hw", "tuning", "n_cameras"))
 def remap_bilinear_u8_planes(
     planes, base: jax.Array, weights: jax.Array,
     out_hw: Tuple[int, int],
     src_hw: Tuple[int, int] | None = None,
+    tuning: Tuple[int, int] = DEFAULT_REMAP_TUNING,
+    n_cameras: int = 1,
 ):
     """Planar batch-minor remap: tuple of [H, W, B] u8 planes ->
     [Ho, Wo, C, B] u8 (channel-blocked — planes stay contiguous; the
@@ -325,7 +409,14 @@ def remap_bilinear_u8_planes(
     Identical gather/blend arithmetic to remap_bilinear_u8; the only
     difference is the K-column ordering of the flattened source
     ([c-block][b] instead of [b-block][c]), which the weights broadcast
-    over unchanged — bit-identical per pixel."""
+    over unchanged — bit-identical per pixel.
+
+    n_cameras > 1 is the camera-blocked multi-calibration form: the B axis
+    is camera-major ([n_cameras, B'] flattened), base/weights are stacked
+    [n_cameras, N] / [n_cameras, 4, N] (per-camera maps), and the result is
+    [n_cameras, Ho, Wo, C, B'] — each camera's block remapped through its
+    own map by ONE flat chunked gather over a row-concatenated pack (see
+    _remap_rows; never vmap this gather)."""
     h, w = planes[0].shape[0], planes[0].shape[1]
     if src_hw is not None and (h, w) != tuple(src_hw):
         raise ValueError(
@@ -338,10 +429,24 @@ def remap_bilinear_u8_planes(
     # concat's layout preferences back through the whole planar pointwise
     # stretch (measured as a ~2x whole-chain regression)
     planes = jax.lax.optimization_barrier(tuple(planes))
-    arr = jnp.concatenate([p.reshape(h * w, -1) for p in planes], axis=1)
-    out_u8 = _remap_rows(arr, base, weights, h, w)
-    lead = planes[0].shape[2:]
-    return out_u8.reshape((ho, wo, c) + lead)
+    if n_cameras == 1:
+        arr = jnp.concatenate([p.reshape(h * w, -1) for p in planes], axis=1)
+        out_u8 = _remap_rows([arr], base, weights, h, w, tuning)
+        lead = planes[0].shape[2:]
+        return out_u8.reshape((ho, wo, c) + lead)
+    # camera-major B axis: camera cam's columns are the cam-th B' block of
+    # each channel plane
+    bc = planes[0].shape[2] // n_cameras  # per-camera batch
+    arrs = [
+        jnp.concatenate(
+            [p[:, :, cam * bc:(cam + 1) * bc].reshape(h * w, bc)
+             for p in planes],
+            axis=1,
+        )
+        for cam in range(n_cameras)
+    ]
+    out_u8 = _remap_rows(arrs, base, weights, h, w, tuning)  # [C*N, c*bc]
+    return out_u8.reshape((n_cameras, ho, wo, c, bc))
 
 
 def remap_bilinear_u8_from_maps(

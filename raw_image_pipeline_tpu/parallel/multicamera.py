@@ -1,23 +1,45 @@
 """Multi-camera execution (BASELINE config 5: 4 cameras, N>=2 hosts).
 
 The reference runs one ROS node per camera; here all cameras execute in one
-jitted program with a leading camera axis: per-camera numeric parameters
-(calibrations, undistortion maps, color matrices) are tree-stacked and the
-single-camera ISP is vmapped over (params, frames, state). The camera axis
-then shards over the mesh's "data" axis like any other batch dimension —
-cameras x frames spread across all chips/hosts with no cross-camera
-collectives, and each camera carries its own Kalman illuminant track.
+jitted program. The TPU-first formulation is CAMERA-BLOCKED, not vmapped:
+the [n_cameras, B] leading axes flatten into one camera-major batch so
+every shared-parameter stage (debayer, flip, CCC statistics, gamma,
+vignetting, HSV) runs at full n_cameras*B batch efficiency, and the only
+per-camera-parameter stage — the undistortion remap — routes each camera
+block through its own precomputed map via a single flat chunked gather
+over a row-concatenated tap pack (ops/undistortion._remap_rows).
+
+Why not jax.vmap: a vmapped gather loses XLA's fast chunked row-gather
+rate entirely and acquires a large batch-independent cost (measured round
+4 on v5e, 1080p x 4 cameras: ~150-290 ms per dispatch regardless of batch
+— the per-frame marginal looked fine while the true average was ~3.5
+ms/frame). The camera-blocked form has no batched gathers anywhere and
+benches at the single-camera chain's per-frame cost.
+
+When every camera shares one calibration, the stacked maps collapse to a
+single shared map and the remap spends one index per output PIXEL for all
+cameras (indices amortize over the whole n_cameras*B batch); with
+distinct calibrations it spends one index per pixel per camera — the
+intrinsic minimum either way.
+
+The camera axis then shards over the mesh's "data" axis like any other
+batch dimension — cameras x frames spread across chips/hosts with no
+cross-camera collectives — and each camera carries its own Kalman
+illuminant track.
 
 Constraint: cameras share the static configuration (stage enables, WB
 method, frame size) — that is what keeps one trace; per-camera *values*
-(intrinsics, distortion, color matrices) differ freely.
+(intrinsics, distortion) differ freely.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 from raw_image_pipeline_tpu.config import CameraCalibration, PipelineConfig
 from raw_image_pipeline_tpu.ops import ccc as ccc_ops
@@ -30,8 +52,14 @@ from raw_image_pipeline_tpu.pipeline import (
 from raw_image_pipeline_tpu.models.ccc_model import load_ccc_model
 
 
-def multicamera_state(n_cameras: int, batch: int = 1) -> IspState:
-    """Per-camera Kalman state, shape [n_cameras, batch, ...]."""
+def multicamera_state(
+    n_cameras: int, batch: int = 1, temporal_mode: str = "cameras"
+) -> IspState:
+    """Per-camera Kalman state: [n_cameras, batch, ...] tracks in "cameras"
+    mode (every batch slot an independent stream), [n_cameras, ...] in
+    "sequence" mode (one track per camera, batch axis = time)."""
+    if temporal_mode == "sequence":
+        return ccc_ops.kalman_init((n_cameras,))
     return ccc_ops.kalman_init((n_cameras, batch))
 
 
@@ -41,11 +69,13 @@ def build_multicamera_pipeline(
     encoding: str = "bayer_gbrg8",
     frame_hw: Optional[Tuple[int, int]] = None,
     with_state: bool = False,
+    temporal_mode: str = "cameras",
 ) -> BuiltPipeline:
-    """One jitted program over [n_cameras, batch, H, W] frames.
+    """One jitted camera-blocked program over [n_cameras, batch, H, W].
 
-    Returns a BuiltPipeline whose params carry a leading camera axis; call
-    as outputs, state = pipe(frames, state) with frames [C, B, H, W].
+    Returns a BuiltPipeline whose params carry a leading camera axis on
+    the per-camera entries (the remap maps); call as
+    outputs, state = pipe(frames, state) with frames [C, B, H, W].
     """
     n = len(calibrations)
     if n == 0:
@@ -66,11 +96,38 @@ def build_multicamera_pipeline(
         make_params(base_config.replace(calibration=c), frame_hw, ccc_model)
         for c in calibrations
     ]
-    stacked = jax.tree.map(lambda *xs: jax.numpy.stack(xs), *per_cam)
+    # the per-camera configs differ only in `calibration`, so only the
+    # remap entries can differ; assert that and stack just those (a shared
+    # calibration keeps the flat single-map form — one gather index per
+    # output pixel for ALL cameras)
+    p0 = per_cam[0]
+    for p in per_cam[1:]:
+        for f in dataclasses.fields(p0):
+            if f.name in ("remap_base", "remap_weights"):
+                continue
+            if not np.array_equal(
+                np.asarray(getattr(p0, f.name)), np.asarray(getattr(p, f.name))
+            ):
+                raise ValueError(
+                    f"per-camera param {f.name} differs; only calibration "
+                    "values may vary across cameras"
+                )
+    maps_shared = all(
+        np.array_equal(np.asarray(p0.remap_base), np.asarray(p.remap_base))
+        and np.array_equal(
+            np.asarray(p0.remap_weights), np.asarray(p.remap_weights)
+        )
+        for p in per_cam[1:]
+    )
+    if maps_shared:
+        params = p0
+    else:
+        params = dataclasses.replace(
+            p0,
+            remap_base=jnp.stack([p.remap_base for p in per_cam]),
+            remap_weights=jnp.stack([p.remap_weights for p in per_cam]),
+        )
 
-    # trace with a per-camera calibration in place: make_isp_fn decides
-    # whether the remap stage exists from config.calibration (all cameras
-    # share availability/model by the size check above)
     from raw_image_pipeline_tpu.pipeline import _post_flip_shape
 
     src_hw = _post_flip_shape(
@@ -79,15 +136,13 @@ def build_multicamera_pipeline(
     single_fn = make_isp_fn(
         base_config.replace(calibration=calibrations[0]),
         encoding, with_state, keep_intermediates=False,
-        remap_src_hw=src_hw,
+        remap_src_hw=src_hw, temporal_mode=temporal_mode, n_cameras=n,
     )
     if with_state:
-        vfn = jax.vmap(single_fn, in_axes=(0, 0, 0))
+        jitted = jax.jit(single_fn)
     else:
-        vfn = jax.vmap(lambda p, px: single_fn(p, px, None)[0], in_axes=(0, 0))
-        vfn = (lambda inner: lambda p, px, state: (inner(p, px), state))(vfn)
-    jitted = jax.jit(vfn)
+        jitted = jax.jit(lambda p, px, state: (single_fn(p, px, None)[0], state))
 
     return BuiltPipeline(
-        config=base_config, params=stacked, ccc_model=ccc_model, fn=jitted
+        config=base_config, params=params, ccc_model=ccc_model, fn=jitted
     )

@@ -105,7 +105,9 @@ class IspParams:
     enhancer_gains: jax.Array  # [3] f32 (H,S,V)
     vignetting_mask: jax.Array  # [H,W] f32 (post-flip dims) or scalar 0 if unused
     # undistortion remap, precomputed from the fisheye maps at init
-    # (ops/undistortion.remap_precompute); scalar 0 when unused
+    # (ops/undistortion.remap_precompute); scalar 0 when unused. The
+    # camera-blocked multicamera build stacks a leading camera axis here
+    # ([C, Ho*Wo] / [C, 4, Ho*Wo]) — the only per-camera entries
     remap_base: jax.Array  # [Ho*Wo] i32 gather anchors
     remap_weights: jax.Array  # [4, Ho*Wo] f32 masked bilinear weights
     # CCC filter DFT (real/imag f32 [256,256]) + spatial bias (or scalar 0)
@@ -267,6 +269,9 @@ def make_isp_fn(
     debug: bool = False,
     temporal_mode: str = "cameras",
     remap_src_hw: Optional[Tuple[int, int]] = None,
+    planar_internals: bool = True,
+    remap_tuning: Optional[Tuple[int, int]] = None,
+    n_cameras: int = 1,
 ):
     """Trace-time assembly of the chain for a fixed encoding.
 
@@ -281,6 +286,19 @@ def make_isp_fn(
     points (raw_image_pipeline.hpp:144-172). Each stage is wrapped in a
     jax.named_scope so traces from jax.profiler attribute time per ISP
     stage.
+
+    planar_internals=False keeps the packed [..., 3] layout through the
+    whole chain (bit-identical; see the planar comments below).
+
+    n_cameras > 1 is the camera-blocked multicamera form (see
+    parallel/multicamera.py): pixels arrive as [n_cameras, B, H, W], are
+    flattened to one [n_cameras*B] batch for every shared-parameter stage
+    (full-batch efficiency, no vmap — a vmapped gather is catastrophically
+    slow, see ops/undistortion.DEFAULT_REMAP_TUNING), and only the remap
+    consumes per-camera parameters: params.remap_base/remap_weights carry
+    a leading camera axis and the camera-blocked gather routes each block
+    through its own map. Outputs and state are returned with the [C, B]
+    leading axes restored.
     """
     deb = config.debayer
     wb = config.white_balance
@@ -312,6 +330,21 @@ def make_isp_fn(
     def fn(params: IspParams, pixels: jax.Array, state: Optional[IspState]):
         outputs: Dict[str, jax.Array] = {}
         img = pixels
+
+        cam_b = 0
+        if n_cameras > 1:
+            # camera-blocked execution: flatten [C, B, ...] -> [C*B, ...]
+            # (camera-major) so every shared-parameter stage runs at full
+            # batch; restored on exit. Temporal state: "cameras" mode
+            # carries [C, B] independent tracks (flattened alongside);
+            # "sequence" mode carries one track per camera ([C]-shaped
+            # fields, batch axis = time within each camera block).
+            cam_b = img.shape[1]
+            img = img.reshape((-1,) + img.shape[2:])
+            if state is not None and temporal_mode != "sequence":
+                state = jax.tree.map(
+                    lambda x: x.reshape((-1,) + x.shape[2:]), state
+                )
 
         def dump(name, value):
             # reference stage dump points: /tmp/0N_<name>.png
@@ -390,7 +423,8 @@ def make_isp_fn(
         # methods (simple/grey_world/learned/pca) keep the packed form
         # until after WB.
         planar_early = (
-            not debug and is_color and img.ndim == 4
+            planar_internals
+            and not debug and is_color and img.ndim == 4
             and (not wb.enabled or wb.method == "ccc")
         )
         if planar_early:
@@ -445,9 +479,20 @@ def make_isp_fn(
                     uv = ccc_ops.response_argmax(resp)
                     if use_kalman:
                         if temporal_mode == "sequence":
-                            # batch axis = time: one shared track advanced
-                            # through all frames in this dispatch
-                            state, uv = ccc_ops.kalman_scan(state, uv)
+                            if n_cameras > 1:
+                                # per-camera tracks advance through their
+                                # own block's time axis: scan over time
+                                # with cameras as the trailing batch
+                                uvc = uv.reshape(n_cameras, cam_b, -1)
+                                uvc = jnp.swapaxes(uvc, 0, 1)  # [T, C, 2]
+                                state, uvc = ccc_ops.kalman_scan(state, uvc)
+                                uv = jnp.swapaxes(uvc, 0, 1).reshape(
+                                    n_cameras * cam_b, -1
+                                )
+                            else:
+                                # batch axis = time: one shared track
+                                # advanced through all frames
+                                state, uv = ccc_ops.kalman_scan(state, uv)
                         else:
                             # batch axis = independent cameras, one track each
                             state, uv = ccc_ops.kalman_update(state, uv)
@@ -496,7 +541,9 @@ def make_isp_fn(
         # shuffling. Bit-identical: the packed ops are thin slice/stack
         # wrappers around the same planar cores. Debug mode keeps the
         # packed reference layout for its dump points.
-        planar = is_color and img.ndim == 4 and not debug
+        planar = (
+            planar_internals and is_color and img.ndim == 4 and not debug
+        )
         if planar and not planar_early:
             planes = (img[..., 0], img[..., 1], img[..., 2])
 
@@ -575,29 +622,49 @@ def make_isp_fn(
         with jax.named_scope("isp_undistortion"):
             if run_undist:
                 out_hw = (calib.image_height, calib.image_width)
+                rt = {} if remap_tuning is None else {"tuning": remap_tuning}
+                # per-camera maps (camera-blocked build): stacked base
+                # [n_cameras, N] routes each camera block through its own
+                # map in one flat gather; a flat base (shared calibration)
+                # just treats the whole [C*B] batch as one
+                cams = n_cameras if (
+                    n_cameras > 1 and params.remap_base.ndim == 2
+                ) else 1
+                if cams > 1:
+                    rt["n_cameras"] = cams
                 if planar and batch_minor:
                     out = remap_bilinear_u8_planes(
                         planes, params.remap_base, params.remap_weights,
-                        out_hw, remap_src_hw,
-                    )  # [Ho, Wo, C, B]
-                    img = jnp.transpose(out, (3, 0, 1, 2))
+                        out_hw, remap_src_hw, **rt,
+                    )  # [Ho, Wo, C, B] or [cams, Ho, Wo, C, B']
+                    if cams > 1:
+                        img = jnp.transpose(out, (0, 4, 1, 2, 3)).reshape(
+                            (-1,) + out.shape[1:3] + (out.shape[3],)
+                        )
+                    else:
+                        img = jnp.transpose(out, (3, 0, 1, 2))
                     planar = False
                 elif batch_minor:
                     img = remap_bilinear_u8(
                         img, params.remap_base, params.remap_weights, out_hw,
-                        remap_src_hw, batch_minor=True,
+                        remap_src_hw, batch_minor=True, **rt,
                     )
-                    img = jnp.transpose(img, (2, 0, 1, 3))
+                    if cams > 1:  # [cams, Ho, Wo, B', C]
+                        img = jnp.transpose(img, (0, 3, 1, 2, 4)).reshape(
+                            (-1,) + img.shape[1:3] + (img.shape[4],)
+                        )
+                    else:
+                        img = jnp.transpose(img, (2, 0, 1, 3))
                 elif is_color:
                     img = remap_bilinear_u8(
                         img, params.remap_base, params.remap_weights, out_hw,
-                        remap_src_hw,
+                        remap_src_hw, **rt,
                     )
                 else:
                     # remap expects a channel axis; run mono as [..., H, W, 1]
                     img = remap_bilinear_u8(
                         img[..., None], params.remap_base, params.remap_weights,
-                        out_hw, remap_src_hw,
+                        out_hw, remap_src_hw, **rt,
                     )[..., 0]
         if planar:
             # no remap consumed the planes — repack for the output contract
@@ -609,6 +676,18 @@ def make_isp_fn(
         if mono_channel_axis:
             img = img[..., None]
         outputs["processed"] = img
+        if n_cameras > 1:
+            # restore the [C, B] leading axes on every output and the
+            # flattened "cameras"-mode state
+            outputs = {
+                kk: v.reshape((n_cameras, cam_b) + v.shape[1:])
+                for kk, v in outputs.items()
+            }
+            if state is not None and temporal_mode != "sequence":
+                state = jax.tree.map(
+                    lambda x: x.reshape((n_cameras, cam_b) + x.shape[1:]),
+                    state,
+                )
         return outputs, state
 
     return fn

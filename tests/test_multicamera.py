@@ -64,16 +64,17 @@ def test_multicamera_matches_per_camera(frames):
 
 
 def test_multicamera_sharded_over_mesh(frames):
+    # cameras fold into the batch in the camera-blocked design, so the
+    # camera axis shards over "data" like any batch axis; params (incl.
+    # the stacked per-camera remap maps) stay replicated
     calibs = [_calib(s) for s in (1.0, 1.05, 0.95, 1.1)]
     config = _config()
     multi = build_multicamera_pipeline(config, calibs, "bayer_gbrg8", (240, 320))
     ref, _ = multi(frames)
 
     mesh = make_mesh(jax.devices()[:4])  # camera axis over 4 devices
-    shard = NamedSharding(mesh, P("data"))
     fr = jax.device_put(jax.numpy.asarray(frames), NamedSharding(mesh, P("data")))
-    params = jax.device_put(multi.params, shard)
-    out, _ = multi.fn(params, fr, None)
+    out, _ = multi.fn(multi.params, fr, None)
     np.testing.assert_array_equal(
         np.asarray(out["processed"]), np.asarray(ref["processed"])
     )
