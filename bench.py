@@ -61,14 +61,21 @@ def _marginal_per_frame(step, pix_small, pix_big, repeats=5):
 
 
 def tpu_fps(h=1080, w=1920, batches=(16, 64, 128)):
-    """Headline: steady-state full-chain throughput per chip.
+    """Headline: full-chain throughput per chip, two views.
 
-    Marginal differencing over consecutive batch sizes (cancels the fixed
-    dispatch/tunnel cost); the headline is the best marginal — the gather
-    stages spend indices per PIXEL (shared across the batch), so per-frame
-    cost keeps improving up to B=128 (measured: 16v64 ~1233, 64v128 ~1100
-    us/frame; 128v192 degrades to ~1630 — HBM pressure). B=128 is the
-    steady-state operating point a production stream would run at."""
+    (1) MARGINAL (the recorded headline metric, methodology unchanged
+    since round 1 for cross-round comparability): per-frame cost by
+    consecutive-batch differencing, best pair reported. CAVEAT: any
+    marginal cancels batch-independent compute along with the tunnel
+    overhead — and the remap gather is a real ~45 ms/dispatch of
+    batch-independent device work (index-bound at small B, byte-bound at
+    the gather engine's ~70 GB/s random-row rate at large B; see
+    docs/performance.md "Marginal vs steady state").
+
+    (2) STEADY-STATE (logged alongside): K back-to-back dispatches, one
+    fetch — the true production dispatch rate at the B=128 operating
+    point, fixed device work included. Measured round 4: ~700 f/s vs the
+    ~900 f/s marginal; round 3 was ~605 steady / 676 marginal."""
     import jax
     import jax.numpy as jnp
 
@@ -112,6 +119,28 @@ def tpu_fps(h=1080, w=1920, batches=(16, 64, 128)):
     margs = " ".join(f"{a}v{b}={m*1e6:.0f}us" for (a, b), m in marginals.items())
     log(f"tpu full chain: {fps:.1f} frames/s ({dt*1e3:.3f} ms/frame compute "
         f"at B={pair[1]}; {times}; marginals {margs})")
+
+    # steady-state at the operating batch: K enqueues back-to-back, one
+    # fetch at the end (per-dispatch fixed DEVICE work included; enqueue
+    # itself is async and ~0.2 ms, measured)
+    b_op = batches[-1]
+    pix = device_noise((b_op, h, w), b_op + 1)
+    np.asarray(step_fn(params, pix))
+
+    def kdisp(k):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(k):
+            r = step_fn(params, pix)
+        np.asarray(r)
+        return time.perf_counter() - t0
+
+    kdisp(2)
+    t_d = min((kdisp(6) - kdisp(2)) / 4 for _ in range(3))
+    pix.delete()
+    log(f"tpu full chain steady-state: {b_op/t_d:.1f} frames/s "
+        f"({t_d/b_op*1e6:.0f} us/frame, {t_d*1e3:.1f} ms/dispatch at "
+        f"B={b_op}, back-to-back)")
     return fps, dt * 1e3
 
 
