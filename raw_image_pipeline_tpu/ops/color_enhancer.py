@@ -32,6 +32,11 @@ def enhance_planes(b: jax.Array, g: jax.Array, r: jax.Array, gains: jax.Array):
     `enhance` (the packed op slices/stacks around the same planar cores)."""
     f32 = jnp.float32
     h, s, v = bgr_to_hsv_planes(b, g, r)
+    # materialize the forward half (same finding as vignetting's
+    # correct_planes: the fully-fused HSV roundtrip mega-kernel is slower
+    # than two passes — in-chain 1469 -> 1440 us/frame at 1080p B=128).
+    # Identity op; bit-exactness unaffected.
+    h, s, v = jax.lax.optimization_barrier((h, s, v))
     h = round_u8(h.astype(f32) * gains[0].astype(f32))
     s = round_u8(s.astype(f32) * gains[1].astype(f32))
     v = round_u8(v.astype(f32) * gains[2].astype(f32))

@@ -168,3 +168,34 @@ def _nhwc_fn(phase: str):
 def debayer_bilinear_pallas_nhwc(bayer: jax.Array, phase: str) -> jax.Array:
     """NHWC wrapper: [B, H, W] -> [B, H, W, 3] uint8."""
     return _nhwc_fn(phase)(bayer)
+
+
+@lru_cache(maxsize=None)
+def _planes_fn(phase: str):
+    """Planes wrapper (see _nhwc_fn for the custom_vmap rationale): the
+    kernel output is natively planar [B, 3, H, W], so serving the chain's
+    planar fast path as three contiguous plane slices skips the NHWC
+    transpose + channel re-slicing roundtrip entirely."""
+
+    @jax.custom_batching.custom_vmap
+    def fn(bayer: jax.Array):
+        out = debayer_bilinear_pallas(bayer, phase)  # [B, 3, H, W]
+        return out[:, 0], out[:, 1], out[:, 2]
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, bayer):
+        (batched,) = in_batched
+        if not batched:
+            bayer = jnp.broadcast_to(bayer, (axis_size,) + bayer.shape)
+        outs = fn(bayer.reshape((-1,) + bayer.shape[2:]))
+        outs = tuple(o.reshape((axis_size, -1) + o.shape[1:]) for o in outs)
+        return outs, (True, True, True)
+
+    return fn
+
+
+@partial(jax.jit, static_argnames=("phase",))
+def debayer_bilinear_pallas_planes(bayer: jax.Array, phase: str):
+    """Planar wrapper: [B, H, W] -> three [B, H, W] uint8 planes (B, G, R
+    order, same values as debayer_bilinear_pallas_nhwc's channels)."""
+    return _planes_fn(phase)(bayer)

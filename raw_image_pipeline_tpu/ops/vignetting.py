@@ -46,6 +46,12 @@ def correct_planes(b: jax.Array, g: jax.Array, r: jax.Array, mask: jax.Array):
     three u8 planes. Same arithmetic as `correct` (bit-identical; the
     packed op slices/stacks around the same planar cores)."""
     L, a, bb = bgr_to_lab_planes(b, g, r)
+    # materialize the forward half's u8 planes: letting XLA fuse the whole
+    # roundtrip into one kernel costs ~40 us/frame MORE than the two-pass
+    # form at 1080p B=128 on v5e (286 vs 246 us/frame, interleaved A/B) —
+    # the fused mega-kernel spills; two u8 [H,W,B] passes are cheaper than
+    # the register pressure. Identity op, bit-exactness unaffected.
+    L, a, bb = jax.lax.optimization_barrier((L, a, bb))
     L = round_u8(L.astype(jnp.float32) * mask.astype(jnp.float32))
     return lab_to_bgr_planes(L, a, bb)
 

@@ -53,6 +53,7 @@ from raw_image_pipeline_tpu.ops.color_enhancer import enhance, enhance_planes
 from raw_image_pipeline_tpu.ops.debayer import (
     BAYER_ENCODINGS,
     debayer,
+    debayer_planes,
 )
 from raw_image_pipeline_tpu.ops.flip import flip as flip_op
 from raw_image_pipeline_tpu.ops.flip import flipped_bayer_encoding
@@ -385,18 +386,38 @@ def make_isp_fn(
             and img.shape[-2] % 2 == 0
         )
 
-        # 1. debayer — always runs; per-call encoding decides (quirk §8.1)
+        # 1. debayer — always runs; per-call encoding decides (quirk §8.1).
+        # When the planar fast path will engage right after (WB is CCC or
+        # disabled), demosaic STRAIGHT to channel planes: the Pallas
+        # kernel's output is natively planar, so the packed NHWC image is
+        # never materialized at all (debayer.debayer_planes).
+        planes = None
+        planar_from_debayer = (
+            planar_internals and not debug
+            and img.ndim == 3
+            and (not wb.enabled or wb.method == "ccc")
+        )
         with jax.named_scope("isp_debayer"):
             if hoist_flip:
                 with jax.named_scope("isp_flip"):
                     img = flip_op(img, flip_angle, spatial_axes=(-2, -1))
-                img = debayer(img, hoist_enc, deb.algorithm)
-                if cpu_swap:
-                    img = img[..., ::-1]
+                if planar_from_debayer:
+                    planes = debayer_planes(img, hoist_enc, deb.algorithm)
+                    if cpu_swap:
+                        planes = planes[::-1]
+                else:
+                    img = debayer(img, hoist_enc, deb.algorithm)
+                    if cpu_swap:
+                        img = img[..., ::-1]
             elif encoding in BAYER_ENCODINGS:
-                img = debayer(img, encoding, deb.algorithm)
-                if cpu_swap:
-                    img = img[..., ::-1]
+                if planar_from_debayer:
+                    planes = debayer_planes(img, encoding, deb.algorithm)
+                    if cpu_swap:
+                        planes = planes[::-1]
+                else:
+                    img = debayer(img, encoding, deb.algorithm)
+                    if cpu_swap:
+                        img = img[..., ::-1]
             elif encoding in _UNSUPPORTED_BAYER:
                 # 16-bit extension: demosaic at full depth, scale into the
                 # 8-bit chain
@@ -412,7 +433,7 @@ def make_isp_fn(
         # mono frames (e.g. "mono8" passthrough): the reference skips WB for
         # non-3-channel images (white_balance.hpp:50-52); the other color
         # stages would crash its cv ops outright, so they are skipped too
-        is_color = img.ndim >= 3 and img.shape[-1] == 3
+        is_color = planes is not None or (img.ndim >= 3 and img.shape[-1] == 3)
 
         # Early PLANAR unpack (see the "Internal PLANAR representation"
         # comment below for the rationale): when white balance is CCC or
@@ -422,12 +443,12 @@ def make_isp_fn(
         # materialized at all on the fast path. The histogram-stat WB
         # methods (simple/grey_world/learned/pca) keep the packed form
         # until after WB.
-        planar_early = (
+        planar_early = planes is not None or (
             planar_internals
             and not debug and is_color and img.ndim == 4
             and (not wb.enabled or wb.method == "ccc")
         )
-        if planar_early:
+        if planar_early and planes is None:
             planes = (img[..., 0], img[..., 1], img[..., 2])
 
         # 2. flip (already applied pre-debayer when hoist_flip)
@@ -522,7 +543,8 @@ def make_isp_fn(
         # two 0.4 GB/batch layout moves around the gather. Not engaged in
         # debug mode (the reference's dump layout is kept 1:1 there).
         batch_minor = (
-            run_undist and is_color and img.ndim == 4 and not debug
+            run_undist and not debug
+            and (planes is not None or (is_color and img.ndim == 4))
         )
         if batch_minor:
             if planar_early:
@@ -541,10 +563,10 @@ def make_isp_fn(
         # shuffling. Bit-identical: the packed ops are thin slice/stack
         # wrappers around the same planar cores. Debug mode keeps the
         # packed reference layout for its dump points.
-        planar = (
+        planar = planes is not None or (
             planar_internals and is_color and img.ndim == 4 and not debug
         )
-        if planar and not planar_early:
+        if planar and planes is None:
             planes = (img[..., 0], img[..., 1], img[..., 2])
 
         # 4. color calibration (3-channel only, like WB — the reference's
