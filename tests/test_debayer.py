@@ -189,3 +189,20 @@ def test_flipped_bayer_encoding_guards():
     assert flipped_bayer_encoding("bgr8", 180) is None
     assert flipped_bayer_encoding("bayer_gbrg16", 180) is None
     assert flipped_bayer_encoding("bayer_gbrg8", 180) == "bayer_grbg8"
+
+
+def test_debayer_planes_equals_packed_slices():
+    # planes output must equal debayer(...)[..., c] for every encoding and
+    # both algorithms (the chain's planar fast path feeds from this)
+    from raw_image_pipeline_tpu.ops.debayer import debayer, debayer_planes
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 256, (2, 64, 80), np.uint8)
+    for enc in ("bayer_bggr8", "bayer_gbrg8", "bayer_grbg8", "bayer_rggb8"):
+        for algo in ("bilinear", "mht"):
+            packed = np.asarray(debayer(x, enc, algo))
+            planes = debayer_planes(x, enc, algo)
+            for c in range(3):
+                np.testing.assert_array_equal(
+                    np.asarray(planes[c]), packed[..., c], err_msg=f"{enc}/{algo}/ch{c}"
+                )

@@ -97,3 +97,73 @@ def test_multicamera_kalman_state():
     out2, state = multi(frames, state)
     assert np.asarray(state.initialized).all()
     assert np.asarray(out1["processed"]).shape == (2, 1, 240, 320, 3)
+
+def test_multicamera_kalman_matches_per_camera():
+    # "cameras" mode: each (camera, slot) an independent track — must equal
+    # running each camera through its own single-camera pipeline
+    calibs = [_calib(1.0), _calib(1.1)]
+    cfg = _config()
+    cfg = cfg.replace(
+        white_balance=dataclasses.replace(
+            cfg.white_balance, method="ccc", temporal_consistency=True
+        )
+    )
+    multi = build_multicamera_pipeline(cfg, calibs, "bayer_gbrg8", (240, 320),
+                                       with_state=True)
+    state = multicamera_state(2, 3)
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 256, (2, 3, 240, 320), np.uint8)
+    out1, state = multi(frames, state)
+    out2, state = multi(frames, state)
+
+    from raw_image_pipeline_tpu.pipeline import init_state
+
+    for ci, calib in enumerate(calibs):
+        solo = build_pipeline(
+            cfg.replace(calibration=calib), "bayer_gbrg8",
+            frame_hw=(240, 320), with_state=True,
+        )
+        st = init_state((3,))
+        r1, st = solo(frames[ci], st)
+        r2, st = solo(frames[ci], st)
+        np.testing.assert_array_equal(
+            np.asarray(out2["processed"])[ci], np.asarray(r2["processed"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state.x)[ci], np.asarray(st.x)
+        )
+
+
+def test_multicamera_sequence_mode_matches_per_camera():
+    # "sequence" mode: one track per camera, batch axis = time within each
+    # camera block (the camera-blocked vmapped-scan path)
+    calibs = [_calib(1.0), _calib(1.1)]
+    cfg = _config()
+    cfg = cfg.replace(
+        white_balance=dataclasses.replace(
+            cfg.white_balance, method="ccc", temporal_consistency=True
+        )
+    )
+    multi = build_multicamera_pipeline(
+        cfg, calibs, "bayer_gbrg8", (240, 320), with_state=True,
+        temporal_mode="sequence",
+    )
+    state = multicamera_state(2, temporal_mode="sequence")
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (2, 4, 240, 320), np.uint8)
+    out, state = multi(frames, state)
+
+    from raw_image_pipeline_tpu.pipeline import build_pipeline as bp
+    from raw_image_pipeline_tpu.pipeline import init_state
+
+    for ci, calib in enumerate(calibs):
+        solo = bp(
+            cfg.replace(calibration=calib), "bayer_gbrg8",
+            frame_hw=(240, 320), with_state=True, temporal_mode="sequence",
+        )
+        st = init_state(())
+        ref, st = solo(frames[ci], st)
+        np.testing.assert_array_equal(
+            np.asarray(out["processed"])[ci], np.asarray(ref["processed"])
+        )
+        np.testing.assert_array_equal(np.asarray(state.x)[ci], np.asarray(st.x))
