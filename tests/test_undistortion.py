@@ -115,3 +115,78 @@ def test_remap_precompute_concentrates_oob_indices():
     assert oob.sum() == 23 and not oob[0]
     np.testing.assert_array_equal(base[oob], 0)
     assert base[0] == 2 * w + 3
+
+
+def test_remap_camera_blocked_matches_per_camera():
+    # the camera-blocked gather (stacked base/weights, row-concatenated
+    # packs) must equal independent per-camera remaps for all three entry
+    # layouts: planes, batch-minor packed, batch-major packed
+    import jax.numpy as jnp
+    from raw_image_pipeline_tpu.ops.undistortion import (
+        remap_bilinear_u8,
+        remap_bilinear_u8_planes,
+        remap_precompute,
+    )
+
+    rng = np.random.default_rng(5)
+    h, w, bc = 24, 32, 3
+    imgs = rng.integers(0, 256, (2, bc, h, w, 3), np.uint8)  # [cam, B, H, W, C]
+    bases, weightss = [], []
+    for cam in range(2):
+        mx = rng.uniform(-2, w + 1, (h, w)).astype(np.float32)
+        my = rng.uniform(-2, h + 1, (h, w)).astype(np.float32)
+        b_, w_ = remap_precompute(mx, my, (h, w))
+        bases.append(b_)
+        weightss.append(w_)
+    base2 = jnp.asarray(np.stack(bases))
+    weights2 = jnp.asarray(np.stack(weightss))
+
+    # reference: per-camera single remaps
+    refs = [
+        np.asarray(
+            remap_bilinear_u8(
+                jnp.asarray(imgs[cam]), jnp.asarray(bases[cam]),
+                jnp.asarray(weightss[cam]), (h, w),
+            )
+        )
+        for cam in range(2)
+    ]
+
+    for tuning in ((2, 130_000), (4, 550_000), (2, 100), (4, 100)):
+        # batch-major packed [cam*B, H, W, C]
+        out = np.asarray(
+            remap_bilinear_u8(
+                jnp.asarray(imgs.reshape(2 * bc, h, w, 3)), base2, weights2,
+                (h, w), n_cameras=2, tuning=tuning,
+            )
+        ).reshape(2, bc, h, w, 3)
+        for cam in range(2):
+            np.testing.assert_array_equal(out[cam], refs[cam])
+
+        # batch-minor packed [H, W, cam*B, C]
+        bm = jnp.asarray(np.transpose(imgs.reshape(2 * bc, h, w, 3), (1, 2, 0, 3)))
+        out_bm = np.asarray(
+            remap_bilinear_u8(
+                bm, base2, weights2, (h, w), batch_minor=True,
+                n_cameras=2, tuning=tuning,
+            )
+        )  # [2, Ho, Wo, B, C]
+        for cam in range(2):
+            np.testing.assert_array_equal(
+                np.transpose(out_bm[cam], (2, 0, 1, 3)), refs[cam]
+            )
+
+        # planes [H, W, cam*B] x3
+        planes = tuple(
+            jnp.asarray(np.transpose(imgs.reshape(2 * bc, h, w, 3)[..., c], (1, 2, 0)))
+            for c in range(3)
+        )
+        out_p = np.asarray(
+            remap_bilinear_u8_planes(
+                planes, base2, weights2, (h, w), n_cameras=2, tuning=tuning,
+            )
+        )  # [2, Ho, Wo, C, B]
+        for cam in range(2):
+            np.testing.assert_array_equal(
+                np.transpose(out_p[cam], (3, 0, 1, 2)), refs[cam]
+            )
