@@ -10,7 +10,9 @@ Two tunnel-safe harnesses (see CLAUDE.md measurement rules):
     the per-dispatch fixed cost and the tunnel RTT entirely.
 
 Usage:  python -m raw_image_pipeline_tpu.tools.op_profile [section ...]
-Sections: chain, ccc, remap, pointwise (default: all).
+Sections: chain, ccc, remap, pointwise, steady (default: all but steady;
+`steady` is the per-stage K-dispatch ablation at B=128 — the honest
+attribution, since marginals cancel the remap's batch-independent cost).
 """
 
 from __future__ import annotations
@@ -302,6 +304,65 @@ def section_pointwise(b_small=16, b_big=64):
             lambda x: jitted(x), inputs[b_small], inputs[b_big],
             db=b_big - b_small))
         log(f"  {name:28s} {dt*1e6:8.1f} us/frame")
+
+
+def section_steady(b=128, h=1080, w=1920):
+    """Per-stage STEADY-STATE ablation at the operating batch: K dispatches
+    enqueued back-to-back, one fetch (enqueue is async ~0.2 ms, so the gap
+    is device time). This is the honest per-stage attribution — any
+    batch-differenced marginal cancels batch-independent device work, and
+    the remap gather is ~45 ms/dispatch of exactly that (see
+    docs/performance.md "Marginal vs steady state")."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from raw_image_pipeline_tpu.pipeline import build_pipeline
+
+    full = ge._full_config((h, w))
+    x = device_noise((b, h, w), 3)
+
+    def steady(cfg):
+        pipe = build_pipeline(cfg, "bayer_gbrg8", frame_hw=(h, w))
+        pp = jax.device_put(pipe.params)
+        step = jax.jit(lambda p, v: jnp.sum(
+            pipe.fn(p, v, None)[0]["processed"], dtype=jnp.int32))
+        np.asarray(step(pp, x))
+
+        def kd(k):
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(k):
+                r = step(pp, x)
+            np.asarray(r)
+            return time.perf_counter() - t0
+
+        kd(2)
+        return min((kd(6) - kd(2)) / 4 for _ in range(3))
+
+    r = dataclasses.replace
+    base = steady(full)
+    log(f"  full chain: {base*1e3:.1f} ms/dispatch, "
+        f"{base/b*1e6:.0f} us/frame at B={b}")
+    ablations = (
+        ("undistortion", full.replace(
+            undistortion=r(full.undistortion, enabled=False))),
+        ("white_balance", full.replace(
+            white_balance=r(full.white_balance, enabled=False))),
+        ("vignetting", full.replace(
+            vignetting_correction=r(full.vignetting_correction, enabled=False))),
+        ("color_enhancer", full.replace(
+            color_enhancer=r(full.color_enhancer, enabled=False))),
+        ("gamma", full.replace(
+            gamma_correction=r(full.gamma_correction, enabled=False))),
+        ("color_calibration", full.replace(
+            color_calibration=r(full.color_calibration, enabled=False))),
+    )
+    for name, cfg in ablations:
+        t = steady(cfg)
+        log(f"  {name:20s} {(base-t)/b*1e6:8.0f} us/frame (stage cost)")
 
 
 def main():
