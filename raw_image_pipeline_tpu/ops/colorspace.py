@@ -415,17 +415,35 @@ def _lab2_inv_gamma_table():
     return np.clip(np.rint((f(255) * g).astype(f)), 0, 255).astype(np.int32)
 
 
+_lab2_ig_i = np.arange(8192, dtype=np.float64)
+_lab2_ig_x = _lab2_ig_i / 4096.0
+_lab2_ig_sel = _lab2_ig_x > 0.0031308
+_LAB2_INV_GAMMA_POLY = fit_branch_poly(
+    8192, _lab2_ig_i[_lab2_ig_sel],
+    255.0 * (1.055 * _lab2_ig_x[_lab2_ig_sel] ** (1.0 / 2.4) - 0.055),
+    degrees=range(6, 26),
+)
+del _lab2_ig_i, _lab2_ig_x, _lab2_ig_sel
+
+
 def _lab2_inv_gamma_formula(i):
-    # degree-10 poly also fits; measured slower than the native pow in the
-    # fused Lab->BGR composite on v5e (negative result) — pow stays
+    # pow branch poly-served in sqrt-index space (deg 10, 2 live
+    # corrections on both v5e and CPU): 150 -> 120 us/frame for the split
+    # Lab->BGR pass at 1080p B=128. The round-2 negative result ("deg-10
+    # poly slower than native pow") held only for the fully-fused
+    # roundtrip mega-kernel; the round-4 two-pass split inverted it.
     f32 = jnp.float32
     x = i.astype(f32) * f32(1.0 / 4096.0)
-    g = jnp.where(
-        x <= f32(0.0031308),
-        x * f32(12.92),
-        f32(1.055) * jnp.power(jnp.maximum(x, f32(1e-9)), f32(1.0 / 2.4)) - f32(0.055),
-    )
-    return jnp.clip(jnp.rint(f32(255.0) * g), 0, 255).astype(jnp.int32)
+    if _LAB2_INV_GAMMA_POLY is not None:
+        hi = poly_eval(i, *_LAB2_INV_GAMMA_POLY, 8192)
+    else:  # host fit failed — fall back to the transcendental
+        hi = f32(255.0) * (
+            f32(1.055)
+            * jnp.power(jnp.maximum(x, f32(1e-9)), f32(1.0 / 2.4))
+            - f32(0.055)
+        )
+    g = jnp.where(x <= f32(0.0031308), x * f32(12.92 * 255.0), hi)
+    return jnp.clip(jnp.rint(g), 0, 255).astype(jnp.int32)
 
 
 _LAB2_INV_GAMMA = CorrectedTable(
