@@ -63,14 +63,17 @@ def _marginal_per_frame(step, pix_small, pix_big, repeats=5):
 def tpu_fps(h=1080, w=1920, batches=(16, 64, 128)):
     """Headline: full-chain throughput per chip, two views.
 
-    (1) MARGINAL (the recorded headline metric, methodology unchanged
-    since round 1 for cross-round comparability): per-frame cost by
-    consecutive-batch differencing, best pair reported. CAVEAT: any
-    marginal cancels batch-independent compute along with the tunnel
-    overhead — and the remap gather is a real ~45 ms/dispatch of
-    batch-independent device work (index-bound at small B, byte-bound at
-    the gather engine's ~70 GB/s random-row rate at large B; see
-    docs/performance.md "Marginal vs steady state").
+    (1) MARGINAL (the recorded headline metric): per-frame cost by
+    consecutive-batch differencing, best pair reported. NOTE the round-4
+    methodology extension: rounds 1-3 recorded the 16v64 marginal only;
+    round 4 also measures 64v128 and records the best — the per-pair
+    marginals are all logged so the strictly-comparable 16v64 number is
+    always recoverable from the stderr line. CAVEAT: any marginal cancels
+    batch-independent compute along with the tunnel overhead — and the
+    remap gather is a real ~45 ms/dispatch of batch-independent device
+    work (index-bound at small B, byte-bound at the gather engine's
+    ~70 GB/s random-row rate at large B; see docs/performance.md
+    "Marginal vs steady state").
 
     (2) STEADY-STATE (logged alongside): K back-to-back dispatches, one
     fetch — the true production dispatch rate at the B=128 operating

@@ -168,6 +168,11 @@ def remap_precompute(
     f32 = np.float32
     mx = np.asarray(map_x)
     my = np.asarray(map_y)
+    if not (np.isfinite(mx).all() and np.isfinite(my).all()):
+        # fail loudly at init: a NaN here would otherwise flow into the
+        # blend weights and flip seal_f32's runtime zero at run time,
+        # silently perturbing every sealed product in the frame
+        raise ValueError("undistortion maps contain non-finite values")
     ix = np.floor(mx).astype(np.int64)
     iy = np.floor(my).astype(np.int64)
     fx = mx.astype(f32) - ix.astype(f32)

@@ -39,7 +39,6 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from raw_image_pipeline_tpu.config import CameraCalibration, PipelineConfig
 from raw_image_pipeline_tpu.ops import ccc as ccc_ops
@@ -92,36 +91,23 @@ def build_multicamera_pipeline(
     if wb.enabled and wb.method == "ccc":
         ccc_model = load_ccc_model(wb.ccc_model_path)
 
-    per_cam = [
-        make_params(base_config.replace(calibration=c), frame_hw, ccc_model)
-        for c in calibrations
-    ]
-    # the per-camera configs differ only in `calibration`, so only the
-    # remap entries can differ; assert that and stack just those (a shared
-    # calibration keeps the flat single-map form — one gather index per
-    # output pixel for ALL cameras)
-    p0 = per_cam[0]
-    for p in per_cam[1:]:
-        for f in dataclasses.fields(p0):
-            if f.name in ("remap_base", "remap_weights"):
-                continue
-            if not np.array_equal(
-                np.asarray(getattr(p0, f.name)), np.asarray(getattr(p, f.name))
-            ):
-                raise ValueError(
-                    f"per-camera param {f.name} differs; only calibration "
-                    "values may vary across cameras"
-                )
-    maps_shared = all(
-        np.array_equal(np.asarray(p0.remap_base), np.asarray(p.remap_base))
-        and np.array_equal(
-            np.asarray(p0.remap_weights), np.asarray(p.remap_weights)
-        )
-        for p in per_cam[1:]
+    # the per-camera configs differ only in `calibration`, and make_params
+    # derives only remap_base/remap_weights from it — every other param is
+    # identical by construction. Decide map sharing on the HOST dataclasses
+    # (fetching device params back over the axon tunnel at ~8 MB/s would
+    # stall builds by tens of seconds for a check that is free here).
+    maps_shared = all(c == calibrations[0] for c in calibrations[1:])
+    p0 = make_params(
+        base_config.replace(calibration=calibrations[0]), frame_hw, ccc_model
     )
     if maps_shared:
+        # one gather index per output pixel for ALL cameras
         params = p0
     else:
+        per_cam = [p0] + [
+            make_params(base_config.replace(calibration=c), frame_hw, ccc_model)
+            for c in calibrations[1:]
+        ]
         params = dataclasses.replace(
             p0,
             remap_base=jnp.stack([p.remap_base for p in per_cam]),

@@ -398,24 +398,17 @@ def make_isp_fn(
             and (not wb.enabled or wb.method == "ccc")
         )
         with jax.named_scope("isp_debayer"):
-            if hoist_flip:
-                with jax.named_scope("isp_flip"):
-                    img = flip_op(img, flip_angle, spatial_axes=(-2, -1))
+            if hoist_flip or encoding in BAYER_ENCODINGS:
+                if hoist_flip:
+                    with jax.named_scope("isp_flip"):
+                        img = flip_op(img, flip_angle, spatial_axes=(-2, -1))
+                enc = hoist_enc if hoist_flip else encoding
                 if planar_from_debayer:
-                    planes = debayer_planes(img, hoist_enc, deb.algorithm)
+                    planes = debayer_planes(img, enc, deb.algorithm)
                     if cpu_swap:
                         planes = planes[::-1]
                 else:
-                    img = debayer(img, hoist_enc, deb.algorithm)
-                    if cpu_swap:
-                        img = img[..., ::-1]
-            elif encoding in BAYER_ENCODINGS:
-                if planar_from_debayer:
-                    planes = debayer_planes(img, encoding, deb.algorithm)
-                    if cpu_swap:
-                        planes = planes[::-1]
-                else:
-                    img = debayer(img, encoding, deb.algorithm)
+                    img = debayer(img, enc, deb.algorithm)
                     if cpu_swap:
                         img = img[..., ::-1]
             elif encoding in _UNSUPPORTED_BAYER:

@@ -312,7 +312,10 @@ def section_steady(b=128, h=1080, w=1920):
     is device time). This is the honest per-stage attribution — any
     batch-differenced marginal cancels batch-independent device work, and
     the remap gather is ~45 ms/dispatch of exactly that (see
-    docs/performance.md "Marginal vs steady state")."""
+    docs/performance.md "Marginal vs steady state"). The kd/min-of-3
+    recipe mirrors bench.py tpu_fps's steady-state block — keep the two in
+    sync so the bench headline and this attribution measure the same
+    thing."""
     import dataclasses
 
     import jax

@@ -110,3 +110,48 @@ def test_remap_planar_matches_packed(img):
     np.testing.assert_array_equal(
         np.asarray(out), np.moveaxis(np.asarray(packed), 2, 3)
     )
+
+
+def test_chain_planar_internals_toggle_and_remap_tuning():
+    # planar_internals=False (packed chain) and remap_tuning overrides are
+    # the experiment knobs on make_isp_fn; both must be bit-identical to
+    # the default fast path on the full chain incl. undistortion
+    import dataclasses
+
+    from raw_image_pipeline_tpu.config import CameraCalibration, PipelineConfig
+    from raw_image_pipeline_tpu.pipeline import make_isp_fn, make_params
+
+    calib = CameraCalibration(
+        image_width=96, image_height=64,
+        camera_matrix=(70.0, 0.0, 48.0, 0.0, 70.0, 32.0, 0.0, 0.0, 1.0),
+        distortion_coefficients=(-0.04, -0.004, 0.004, -0.002),
+        distortion_model="equidistant", calibration_available=True,
+    )
+    cfg = PipelineConfig()
+    cfg = PipelineConfig(
+        white_balance=dataclasses.replace(
+            cfg.white_balance, enabled=True, method="ccc"),
+        gamma_correction=dataclasses.replace(
+            cfg.gamma_correction, enabled=True),
+        vignetting_correction=dataclasses.replace(
+            cfg.vignetting_correction, enabled=True),
+        color_enhancer=dataclasses.replace(cfg.color_enhancer, enabled=True),
+        undistortion=dataclasses.replace(cfg.undistortion, enabled=True),
+        calibration=calib,
+    )
+    params = make_params(cfg, (64, 96))
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (2, 64, 96), np.uint8)
+
+    ref_fn = make_isp_fn(cfg, "bayer_gbrg8", False, keep_intermediates=False,
+                         remap_src_hw=(64, 96))
+    ref = np.asarray(ref_fn(params, px, None)[0]["processed"])
+    for kwargs in (
+        {"planar_internals": False},
+        {"remap_tuning": (4, 550_000)},
+        {"remap_tuning": (2, 1000), "planar_internals": False},
+    ):
+        fn = make_isp_fn(cfg, "bayer_gbrg8", False, keep_intermediates=False,
+                         remap_src_hw=(64, 96), **kwargs)
+        got = np.asarray(fn(params, px, None)[0]["processed"])
+        np.testing.assert_array_equal(got, ref, err_msg=str(kwargs))
