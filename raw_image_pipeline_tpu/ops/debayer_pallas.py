@@ -142,16 +142,18 @@ def debayer_bilinear_pallas(bayer: jax.Array, phase: str) -> jax.Array:
 
 
 @lru_cache(maxsize=None)
-def _nhwc_fn(phase: str):
+def _nhwc_fn(phase: str, core=None):
     """Per-phase NHWC wrapper with a custom vmap rule: Mosaic cannot batch
     a pallas_call whose input block lives in memory_space=ANY, so an outer
     vmap (the multicamera path) is absorbed by collapsing the mapped axis
     into the kernel's grid batch axis instead — bit-identical, and the
-    kernel runs once over cameras x frames."""
+    kernel runs once over cameras x frames. core: the planar kernel entry
+    ([B,H,W] -> [B,3,H,W]); defaults to the bilinear kernel."""
+    core = core or debayer_bilinear_pallas
 
     @jax.custom_batching.custom_vmap
     def fn(bayer: jax.Array) -> jax.Array:
-        return jnp.transpose(debayer_bilinear_pallas(bayer, phase), (0, 2, 3, 1))
+        return jnp.transpose(core(bayer, phase), (0, 2, 3, 1))
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, bayer):
@@ -171,15 +173,16 @@ def debayer_bilinear_pallas_nhwc(bayer: jax.Array, phase: str) -> jax.Array:
 
 
 @lru_cache(maxsize=None)
-def _planes_fn(phase: str):
+def _planes_fn(phase: str, core=None):
     """Planes wrapper (see _nhwc_fn for the custom_vmap rationale): the
     kernel output is natively planar [B, 3, H, W], so serving the chain's
     planar fast path as three contiguous plane slices skips the NHWC
     transpose + channel re-slicing roundtrip entirely."""
+    core = core or debayer_bilinear_pallas
 
     @jax.custom_batching.custom_vmap
     def fn(bayer: jax.Array):
-        out = debayer_bilinear_pallas(bayer, phase)  # [B, 3, H, W]
+        out = core(bayer, phase)  # [B, 3, H, W]
         return out[:, 0], out[:, 1], out[:, 2]
 
     @fn.def_vmap
@@ -199,3 +202,127 @@ def debayer_bilinear_pallas_planes(bayer: jax.Array, phase: str):
     """Planar wrapper: [B, H, W] -> three [B, H, W] uint8 planes (B, G, R
     order, same values as debayer_bilinear_pallas_nhwc's channels)."""
     return _planes_fn(phase)(bayer)
+
+
+# ---------------------------------------------------------------------------
+# MHT (Malvar-He-Cutler 5x5, the reference GPU algorithm) banded-DMA kernel
+# ---------------------------------------------------------------------------
+
+
+def mht_tile_rows_for(h: int) -> int | None:
+    """Row tile for the MHT kernel: the 5x5 stencil keeps ~18 int32
+    [tile, W] temps live, so the tile caps at 64 (vs the bilinear 128) to
+    stay inside the Mosaic VMEM budget at 1920 lanes."""
+    return tile_rows_for(h, max_tile=64)
+
+
+def _mht_kernel(phase: str, tile: int, w: int, x_hbm, out_ref, band, sem):
+    """One grid step: MHC'04 stencil over a CLAMP-padded mosaic band.
+
+    Identical integer arithmetic to ops/debayer._mht_core (filters x16,
+    descale by 4 bits round-half-even); the clamp-to-edge border semantics
+    (cudaAddressModeClamp in the reference's CUDA kernel) are encoded in
+    the padded input, so the full stencil is valid everywhere and no
+    output border pass is needed."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    band_rows = band.shape[0]
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(t * tile, band_rows), :],
+        band,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    x = band[:].astype(jnp.int32)  # [band, WP], 2px clamp halo at (2, 2)
+
+    def sh(dy, dx):
+        return x[2 + dy: 2 + dy + tile, 2 + dx: 2 + dx + w]
+
+    c = sh(0, 0)
+    n1, s1, w1, e1 = sh(-1, 0), sh(1, 0), sh(0, -1), sh(0, 1)
+    n2, s2, w2, e2 = sh(-2, 0), sh(2, 0), sh(0, -2), sh(0, 2)
+    nw, ne_, sw, se_ = sh(-1, -1), sh(-1, 1), sh(1, -1), sh(1, 1)
+
+    cross4 = n1 + s1 + w1 + e1
+    diag4 = nw + ne_ + sw + se_
+    axial4 = n2 + s2 + w2 + e2
+
+    g_at_rb = 8 * c + 4 * cross4 - 2 * axial4
+    rb_at_g_h = 10 * c + 8 * (w1 + e1) - 2 * diag4 - 2 * (w2 + e2) + (n2 + s2)
+    rb_at_g_v = 10 * c + 8 * (n1 + s1) - 2 * diag4 - 2 * (n2 + s2) + (w2 + e2)
+    rb_at_br = 12 * c + 4 * diag4 - 3 * axial4
+
+    def desc8(v):
+        # v/16 with round-half-even (= rint of the float stencil value)
+        q = (v + 8) >> 4
+        return q - (((v & 15) == 8) & ((q & 1) == 1)).astype(v.dtype)
+
+    # tile origin row t*tile is even (tile is a multiple of 8), so the
+    # per-tile masks line up with the absolute pixel parity
+    r_site, g_r_row, g_b_row, b_site = _site_masks(tile, w, phase)
+    g_site = g_r_row | g_b_row
+
+    g = jnp.where(g_site, c, desc8(g_at_rb))
+    r = jnp.where(
+        r_site, c,
+        jnp.where(g_r_row, desc8(rb_at_g_h),
+                  jnp.where(g_b_row, desc8(rb_at_g_v), desc8(rb_at_br))),
+    )
+    bl = jnp.where(
+        b_site, c,
+        jnp.where(g_b_row, desc8(rb_at_g_h),
+                  jnp.where(g_r_row, desc8(rb_at_g_v), desc8(rb_at_br))),
+    )
+    out_ref[0, 0] = jnp.clip(bl, 0, 255).astype(jnp.uint8)
+    out_ref[0, 1] = jnp.clip(g, 0, 255).astype(jnp.uint8)
+    out_ref[0, 2] = jnp.clip(r, 0, 255).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("phase",))
+def debayer_mht_pallas(bayer: jax.Array, phase: str) -> jax.Array:
+    """[B, H, W] uint8 -> [B, 3, H, W] uint8 planar BGR, bit-identical to
+    ops/debayer.debayer_mht (clamp-to-edge borders included)."""
+    bsz, h, w = bayer.shape
+    tile = mht_tile_rows_for(h)
+    assert tile is not None, f"H={h} has no multiple-of-8 row tile <= 64"
+    band = tile + 8  # 2px halo; 8-aligned DMA slices
+    wp = -(-(w + 4) // 128) * 128
+    # clamp-to-edge 2px pad (concat form — pad(mode='edge') lowers worse on
+    # TPU), then zero rows/lanes to the DMA-aligned buffer size
+    p = jnp.concatenate(
+        [bayer[:, :1], bayer[:, :1], bayer, bayer[:, -1:], bayer[:, -1:]],
+        axis=1,
+    )
+    p = jnp.concatenate(
+        [p[:, :, :1], p[:, :, :1], p, p[:, :, -1:], p[:, :, -1:]], axis=2
+    )
+    p = jnp.pad(p, [(0, 0), (0, band - tile - 4), (0, wp - w - 4)])
+
+    return pl.pallas_call(
+        partial(_mht_kernel, phase, tile, w),
+        out_shape=jax.ShapeDtypeStruct((bsz, 3, h, w), jnp.uint8),
+        grid=(bsz, h // tile),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 3, tile, w), lambda b, t: (b, 0, t, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((band, wp), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(p)
+
+
+@partial(jax.jit, static_argnames=("phase",))
+def debayer_mht_pallas_nhwc(bayer: jax.Array, phase: str) -> jax.Array:
+    """NHWC wrapper: [B, H, W] -> [B, H, W, 3] uint8."""
+    return _nhwc_fn(phase, debayer_mht_pallas)(bayer)
+
+
+@partial(jax.jit, static_argnames=("phase",))
+def debayer_mht_pallas_planes(bayer: jax.Array, phase: str):
+    """Planar wrapper: [B, H, W] -> three [B, H, W] uint8 planes."""
+    return _planes_fn(phase, debayer_mht_pallas)(bayer)
