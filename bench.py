@@ -373,36 +373,43 @@ def config_benchmarks(h=1080, w=1920):
 
 
 def pallas_debayer_check(h=1080, w=1920):
-    """Exercise the compiled (Mosaic) Pallas debayer on the real TPU and
-    assert equality with the XLA bilinear stencil (VERDICT r01 weak #8) at
-    the headline frame size. "bilinear" auto-selects the kernel on TPU, so
-    the XLA side is pinned via debayer_bilinear directly."""
+    """Exercise the compiled (Mosaic) Pallas debayer kernels on the real
+    TPU and assert equality with the XLA stencils (VERDICT r01 weak #8) at
+    the headline frame size — both algorithms, since "bilinear" AND "mht"
+    auto-select their kernels on TPU. The XLA sides are pinned via the
+    stencil functions directly."""
     import jax
     import jax.numpy as jnp
 
     from raw_image_pipeline_tpu.ops.debayer import (
         debayer,
         debayer_bilinear,
+        debayer_mht,
         phase_for_encoding,
     )
 
     bay = device_noise((2, h, w), 61)
+    phase = phase_for_encoding("bayer_gbrg8")
 
     @jax.jit
     def diff(px):
-        a = debayer_bilinear(px, phase_for_encoding("bayer_gbrg8"))
+        a = debayer_bilinear(px, phase)
         b = debayer(px, "bayer_gbrg8", "bilinear_pallas")
-        return jnp.sum((a != b).astype(jnp.int32))
+        nb = jnp.sum((a != b).astype(jnp.int32))
+        c = debayer_mht(px, phase)
+        d = debayer(px, "bayer_gbrg8", "mht_pallas")
+        return nb, jnp.sum((c != d).astype(jnp.int32))
 
     t0 = time.perf_counter()
-    n = int(np.asarray(diff(bay)))
-    log(f"pallas debayer (Mosaic compile + run): {n} mismatches vs XLA "
-        f"bilinear ({time.perf_counter()-t0:.0f}s)")
-    if n != 0:
+    nbl, nmht = (int(v) for v in np.asarray(diff(bay)))
+    log(f"pallas debayer (Mosaic compile + run): bilinear {nbl} / mht {nmht} "
+        f"mismatches vs XLA ({time.perf_counter()-t0:.0f}s)")
+    if nbl or nmht:
         raise AssertionError(
-            f"PALLAS DEBAYER REGRESSION: {n} pixels differ from the XLA path"
+            f"PALLAS DEBAYER REGRESSION: bilinear {nbl} / mht {nmht} pixels "
+            "differ from the XLA path"
         )
-    return n
+    return nbl + nmht
 
 
 # Frozen canonical CPU-arm number for the vs_baseline denominator: pinned
@@ -649,11 +656,13 @@ def tpu_scaling(h=1080, w=1920, per_dev_batch=16):
     if len(devs) < 2:
         return None
     config = ge._full_config((h, w))
-    pipe = build_pipeline(config, "bayer_gbrg8", frame_hw=(h, w))
     rng = np.random.default_rng(0)
 
     def run_on(devices):
         mesh = make_mesh(devices)
+        # mesh hint pins GSPMD-partitionable impls on multi-device runs
+        pipe = build_pipeline(config, "bayer_gbrg8", frame_hw=(h, w),
+                              mesh=mesh if len(devices) > 1 else None)
         n = len(devices)
         batch = per_dev_batch * n
         shard = NamedSharding(mesh, P("data", None, None))

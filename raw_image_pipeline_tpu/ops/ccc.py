@@ -74,7 +74,13 @@ _HIST_IMPL = "auto"
 
 
 def set_histogram_impl(impl: str) -> None:
-    """Select the log-chroma histogram backend: "auto" | "einsum" | "pallas"."""
+    """Select the log-chroma histogram backend: "auto" | "einsum" | "pallas".
+
+    Call BEFORE building pipelines: clearing log_chroma_histogram's own jit
+    cache cannot retrace outer jitted programs (built pipelines,
+    ccc_balance_white) that already embedded the previous selection —
+    those keep the backend they were traced with. Pipelines built via
+    build_pipeline(spatial_shards>1) pin "einsum" explicitly instead."""
     global _HIST_IMPL
     if impl not in ("auto", "einsum", "pallas"):
         raise ValueError(f"unknown histogram impl [{impl}]")
@@ -236,7 +242,12 @@ _RESP_IMPL = "auto"
 
 
 def set_response_impl(impl: str) -> None:
-    """Select the CCC response backend: "auto" | "xla" | "pallas"."""
+    """Select the CCC response backend: "auto" | "xla" | "pallas".
+
+    Call BEFORE building pipelines (same caveat as set_histogram_impl:
+    outer jitted programs keep the backend they were traced with).
+    Pipelines built via build_pipeline(spatial_shards>1) pin "xla"
+    explicitly instead."""
     global _RESP_IMPL
     if impl not in ("auto", "xla", "pallas"):
         raise ValueError(f"unknown response impl [{impl}]")

@@ -8,8 +8,9 @@ Needed for exact parity of two reference stages:
 plus BGR -> gray (float) for the CCC histogram mask
     (reference: convolutional_color_constancy.cpp:213).
 
-Parity status (empirically measured against cv2 5.0 on random inputs, see
-tests/test_colorspace.py):
+Parity status (empirically measured against cv2 5.0; the assertions live in
+tests/test_pointwise_ops.py and tests/test_planar.py, plus the on-chip
+exhaustive sweeps in tools/tpu_parity_check.py):
   * bgr_to_hsv_u8:   bit-exact (integer table arithmetic, hsv_shift=12).
   * hsv_to_bgr_u8:   bit-exact, verified against ALL 256^3 u8 HSV inputs
     (f32 chain with emulated-fma single rounding + final truncation,

@@ -76,38 +76,50 @@ def phase_for_encoding(encoding: str) -> str:
     return _CV_PHASE[ENCODING_TO_CV_CODE[encoding]]
 
 
-# Bilinear backend selector, mirroring ccc.set_histogram_impl: "auto" runs
-# the banded-DMA Pallas kernel on TPU for eligible shapes (bit-identical to
-# the XLA stencil; measured 134 us/frame faster IN-CHAIN at 1080p B=64 on
-# v5e — 1.86 -> 1.73 ms/frame full chain) and the fused XLA stencil
-# elsewhere. Force "xla" for multi-device spatial sharding on real TPU
-# hardware: GSPMD cannot partition a pallas_call (see docs/scaling.md).
+# Demosaic backend selector, mirroring ccc.set_histogram_impl: "auto" runs
+# the banded-DMA Pallas kernels on TPU for eligible shapes (bit-identical
+# to the XLA stencils; bilinear measured 134 us/frame faster IN-CHAIN at
+# 1080p B=64 on v5e — 1.86 -> 1.73 ms/frame full chain) and the fused XLA
+# stencils elsewhere. Multi-device spatial sharding needs "xla": GSPMD
+# cannot partition a pallas_call — build_pipeline(spatial_shards>1) selects
+# it automatically (see docs/scaling.md). Governs both algorithms; the
+# historical name set_bilinear_impl is kept.
 _BILINEAR_IMPL = "auto"
 
 
 def set_bilinear_impl(impl: str) -> None:
-    """Select the bilinear demosaic backend: "auto" | "xla" | "pallas"."""
+    """Select the demosaic backend (bilinear AND mht):
+    "auto" | "xla" | "pallas". Call before building pipelines — already
+    traced programs keep the backend they were traced with."""
     global _BILINEAR_IMPL
     if impl not in ("auto", "xla", "pallas"):
         raise ValueError(f"unknown bilinear demosaic impl [{impl}]")
     _BILINEAR_IMPL = impl
 
 
-def _pallas_bilinear_eligible(bayer) -> bool:
-    """Shapes the kernel handles: one batched [B, H, W] u8 layout, even
+def _pallas_eligible(bayer, algorithm: str = "bilinear") -> bool:
+    """Shapes the kernels handle: one batched [B, H, W] u8 layout, even
     frame dims (per-tile parity masks), and a multiple-of-8 row tile that
-    divides H (debayer_pallas.tile_rows_for). An outer vmap (multicamera)
-    is handled by the kernel wrapper's custom_vmap rule, which folds the
-    mapped axis into the grid batch axis."""
-    from raw_image_pipeline_tpu.ops.debayer_pallas import tile_rows_for
+    divides H (debayer_pallas.tile_rows_for; the MHT kernel's tile caps at
+    64 for its VMEM budget). An outer vmap (multicamera) is handled by the
+    kernel wrapper's custom_vmap rule, which folds the mapped axis into
+    the grid batch axis."""
+    from raw_image_pipeline_tpu.ops.debayer_pallas import (
+        mht_tile_rows_for,
+        tile_rows_for,
+    )
 
+    rows_for = mht_tile_rows_for if algorithm == "mht" else tile_rows_for
     return (
         bayer.ndim == 3
         and bayer.dtype == jnp.uint8
         and bayer.shape[-2] % 2 == 0
         and bayer.shape[-1] % 2 == 0
-        and tile_rows_for(bayer.shape[-2]) is not None
+        and rows_for(bayer.shape[-2]) is not None
     )
+
+
+_pallas_bilinear_eligible = _pallas_eligible  # back-compat alias
 
 
 def _site_masks(h: int, w: int, phase: str, row_off: int = 0, col_off: int = 0):
@@ -340,66 +352,76 @@ def debayer_bilinear16(bayer: jax.Array, phase: str) -> jax.Array:
     return _replicate_border(out)
 
 
-def debayer(bayer: jax.Array, encoding: str, algorithm: str = "bilinear") -> jax.Array:
+def _use_pallas(bayer, algorithm: str, impl) -> bool:
+    impl = impl or _BILINEAR_IMPL
+    return impl == "pallas" or (
+        impl == "auto"
+        and jax.default_backend() == "tpu"
+        and _pallas_eligible(bayer, algorithm)
+    )
+
+
+def debayer(bayer: jax.Array, encoding: str, algorithm: str = "bilinear",
+            impl: str | None = None) -> jax.Array:
     """Demosaic by ROS encoding name, in cv2 channel conventions (BGR out,
-    before the reference's CPU R<->B swap quirk)."""
+    before the reference's CPU R<->B swap quirk).
+
+    impl: None (module selector, see set_bilinear_impl) | "auto" | "xla" |
+    "pallas" — pipelines built for spatial sharding pass "xla" explicitly
+    (GSPMD cannot partition a pallas_call)."""
     if encoding in BAYER16_ENCODINGS:
         phase = _CV_PHASE[{"bayer_bggr16": "bg", "bayer_gbrg16": "gb",
                            "bayer_grbg16": "gr", "bayer_rggb16": "rg"}[encoding]]
         return debayer_bilinear16(bayer, phase)
     phase = phase_for_encoding(encoding)
-    if algorithm == "bilinear":
-        use_pallas = _BILINEAR_IMPL == "pallas" or (
-            _BILINEAR_IMPL == "auto"
-            and jax.default_backend() == "tpu"
-            and _pallas_bilinear_eligible(bayer)
-        )
-        if use_pallas:
+    if algorithm in ("bilinear", "bilinear_pallas"):
+        if algorithm == "bilinear_pallas" or _use_pallas(bayer, "bilinear", impl):
+            # hand-written banded-DMA kernel; bit-identical to "bilinear"
+            # (asserted in-chain and standalone on-chip by bench.py each run)
             from raw_image_pipeline_tpu.ops.debayer_pallas import (
                 debayer_bilinear_pallas_nhwc,
             )
 
             return debayer_bilinear_pallas_nhwc(bayer, phase)
         return debayer_bilinear(bayer, phase)
-    if algorithm == "bilinear_pallas":
-        # hand-written banded-DMA kernel; bit-identical to "bilinear"
-        # (asserted in-chain and standalone on-chip by bench.py each run)
-        from raw_image_pipeline_tpu.ops.debayer_pallas import (
-            debayer_bilinear_pallas_nhwc,
-        )
+    if algorithm in ("mht", "mht_pallas"):
+        if algorithm == "mht_pallas" or _use_pallas(bayer, "mht", impl):
+            # banded-DMA MHT kernel; bit-identical to debayer_mht (asserted
+            # in interpret mode by tests/test_debayer_pallas.py and on-chip
+            # by bench.py's pallas_debayer_check)
+            from raw_image_pipeline_tpu.ops.debayer_pallas import (
+                debayer_mht_pallas_nhwc,
+            )
 
-        return debayer_bilinear_pallas_nhwc(bayer, phase)
-    if algorithm == "mht":
+            return debayer_mht_pallas_nhwc(bayer, phase)
         return debayer_mht(bayer, phase)
     raise ValueError(f"Unknown demosaic algorithm: {algorithm}")
 
 
 def debayer_planes(bayer: jax.Array, encoding: str,
-                   algorithm: str = "bilinear"):
+                   algorithm: str = "bilinear", impl: str | None = None):
     """Demosaic straight to three channel planes (c0, c1, c2), identical
     to debayer(...)[..., 0/1/2].
 
-    The Pallas bilinear kernel's output is natively planar [B, 3, H, W];
-    serving the pipeline's planar fast path from it directly skips the
-    NHWC transpose + channel re-slicing the packed form would pay
-    (~50 us/frame at 1080p B=128 on v5e). Other backends/algorithms fall
-    back to slicing the packed output — bit-identical by construction."""
-    if (
-        algorithm in ("bilinear", "bilinear_pallas")
-        and encoding not in BAYER16_ENCODINGS
-    ):
-        use_pallas = algorithm == "bilinear_pallas" or _BILINEAR_IMPL == "pallas" or (
-            _BILINEAR_IMPL == "auto"
-            and jax.default_backend() == "tpu"
-            and _pallas_bilinear_eligible(bayer)
-        )
-        if use_pallas and _pallas_bilinear_eligible(bayer):
+    The Pallas kernels' output is natively planar [B, 3, H, W]; serving
+    the pipeline's planar fast path from it directly skips the NHWC
+    transpose + channel re-slicing the packed form would pay (~50 us/frame
+    at 1080p B=128 on v5e). Other backends/algorithms fall back to slicing
+    the packed output — bit-identical by construction."""
+    if encoding not in BAYER16_ENCODINGS:
+        base_alg = algorithm.replace("_pallas", "")
+        forced = algorithm.endswith("_pallas")
+        if (
+            (forced or _use_pallas(bayer, base_alg, impl))
+            and _pallas_eligible(bayer, base_alg)
+        ):
             from raw_image_pipeline_tpu.ops.debayer_pallas import (
                 debayer_bilinear_pallas_planes,
+                debayer_mht_pallas_planes,
             )
 
-            return debayer_bilinear_pallas_planes(
-                bayer, phase_for_encoding(encoding)
-            )
-    img = debayer(bayer, encoding, algorithm)
+            kernel = (debayer_mht_pallas_planes if base_alg == "mht"
+                      else debayer_bilinear_pallas_planes)
+            return kernel(bayer, phase_for_encoding(encoding))
+    img = debayer(bayer, encoding, algorithm, impl)
     return img[..., 0], img[..., 1], img[..., 2]

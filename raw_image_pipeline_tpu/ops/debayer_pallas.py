@@ -111,11 +111,13 @@ def _kernel(phase: str, tile: int, w: int, x_hbm, out_ref, band, sem):
     store(2, r)
 
 
-@partial(jax.jit, static_argnames=("phase",))
-def debayer_bilinear_pallas(bayer: jax.Array, phase: str) -> jax.Array:
+@partial(jax.jit, static_argnames=("phase", "interpret"))
+def debayer_bilinear_pallas(bayer: jax.Array, phase: str,
+                            interpret: bool = False) -> jax.Array:
     """[B, H, W] uint8 -> [B, 3, H, W] uint8 planar BGR (cv2 semantics
     including border replication). H must have a multiple-of-8 divisor
-    (see tile_rows_for)."""
+    (see tile_rows_for). interpret=True runs the Pallas interpreter
+    (CPU test coverage of the kernel body incl. the DMA)."""
     bsz, h, w = bayer.shape
     tile = tile_rows_for(h)
     assert tile is not None, f"H={h} has no multiple-of-8 row tile"
@@ -138,18 +140,24 @@ def debayer_bilinear_pallas(bayer: jax.Array, phase: str) -> jax.Array:
             pltpu.VMEM((band, wp), jnp.uint8),
             pltpu.SemaphoreType.DMA,
         ],
+        interpret=interpret,
     )(padded)
 
 
+def _core_for(kind: str, interpret: bool):
+    core = {"bilinear": debayer_bilinear_pallas, "mht": debayer_mht_pallas}[kind]
+    return partial(core, interpret=interpret) if interpret else core
+
+
 @lru_cache(maxsize=None)
-def _nhwc_fn(phase: str, core=None):
+def _nhwc_fn(phase: str, kind: str = "bilinear", interpret: bool = False):
     """Per-phase NHWC wrapper with a custom vmap rule: Mosaic cannot batch
     a pallas_call whose input block lives in memory_space=ANY, so an outer
     vmap (the multicamera path) is absorbed by collapsing the mapped axis
     into the kernel's grid batch axis instead — bit-identical, and the
-    kernel runs once over cameras x frames. core: the planar kernel entry
-    ([B,H,W] -> [B,3,H,W]); defaults to the bilinear kernel."""
-    core = core or debayer_bilinear_pallas
+    kernel runs once over cameras x frames. kind: "bilinear" | "mht"
+    (the planar kernel entry, [B,H,W] -> [B,3,H,W])."""
+    core = _core_for(kind, interpret)
 
     @jax.custom_batching.custom_vmap
     def fn(bayer: jax.Array) -> jax.Array:
@@ -166,19 +174,20 @@ def _nhwc_fn(phase: str, core=None):
     return fn
 
 
-@partial(jax.jit, static_argnames=("phase",))
-def debayer_bilinear_pallas_nhwc(bayer: jax.Array, phase: str) -> jax.Array:
+@partial(jax.jit, static_argnames=("phase", "interpret"))
+def debayer_bilinear_pallas_nhwc(bayer: jax.Array, phase: str,
+                                 interpret: bool = False) -> jax.Array:
     """NHWC wrapper: [B, H, W] -> [B, H, W, 3] uint8."""
-    return _nhwc_fn(phase)(bayer)
+    return _nhwc_fn(phase, "bilinear", interpret)(bayer)
 
 
 @lru_cache(maxsize=None)
-def _planes_fn(phase: str, core=None):
+def _planes_fn(phase: str, kind: str = "bilinear", interpret: bool = False):
     """Planes wrapper (see _nhwc_fn for the custom_vmap rationale): the
     kernel output is natively planar [B, 3, H, W], so serving the chain's
     planar fast path as three contiguous plane slices skips the NHWC
     transpose + channel re-slicing roundtrip entirely."""
-    core = core or debayer_bilinear_pallas
+    core = _core_for(kind, interpret)
 
     @jax.custom_batching.custom_vmap
     def fn(bayer: jax.Array):
@@ -197,11 +206,12 @@ def _planes_fn(phase: str, core=None):
     return fn
 
 
-@partial(jax.jit, static_argnames=("phase",))
-def debayer_bilinear_pallas_planes(bayer: jax.Array, phase: str):
+@partial(jax.jit, static_argnames=("phase", "interpret"))
+def debayer_bilinear_pallas_planes(bayer: jax.Array, phase: str,
+                                   interpret: bool = False):
     """Planar wrapper: [B, H, W] -> three [B, H, W] uint8 planes (B, G, R
     order, same values as debayer_bilinear_pallas_nhwc's channels)."""
-    return _planes_fn(phase)(bayer)
+    return _planes_fn(phase, "bilinear", interpret)(bayer)
 
 
 # ---------------------------------------------------------------------------
@@ -281,10 +291,13 @@ def _mht_kernel(phase: str, tile: int, w: int, x_hbm, out_ref, band, sem):
     out_ref[0, 2] = jnp.clip(r, 0, 255).astype(jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("phase",))
-def debayer_mht_pallas(bayer: jax.Array, phase: str) -> jax.Array:
+@partial(jax.jit, static_argnames=("phase", "interpret"))
+def debayer_mht_pallas(bayer: jax.Array, phase: str,
+                       interpret: bool = False) -> jax.Array:
     """[B, H, W] uint8 -> [B, 3, H, W] uint8 planar BGR, bit-identical to
-    ops/debayer.debayer_mht (clamp-to-edge borders included)."""
+    ops/debayer.debayer_mht (clamp-to-edge borders included; asserted in
+    interpret mode by tests/test_debayer_pallas.py and on-chip by
+    bench.py's pallas_debayer_check every run)."""
     bsz, h, w = bayer.shape
     tile = mht_tile_rows_for(h)
     assert tile is not None, f"H={h} has no multiple-of-8 row tile <= 64"
@@ -313,16 +326,19 @@ def debayer_mht_pallas(bayer: jax.Array, phase: str) -> jax.Array:
             pltpu.VMEM((band, wp), jnp.uint8),
             pltpu.SemaphoreType.DMA,
         ],
+        interpret=interpret,
     )(p)
 
 
-@partial(jax.jit, static_argnames=("phase",))
-def debayer_mht_pallas_nhwc(bayer: jax.Array, phase: str) -> jax.Array:
+@partial(jax.jit, static_argnames=("phase", "interpret"))
+def debayer_mht_pallas_nhwc(bayer: jax.Array, phase: str,
+                            interpret: bool = False) -> jax.Array:
     """NHWC wrapper: [B, H, W] -> [B, H, W, 3] uint8."""
-    return _nhwc_fn(phase, debayer_mht_pallas)(bayer)
+    return _nhwc_fn(phase, "mht", interpret)(bayer)
 
 
-@partial(jax.jit, static_argnames=("phase",))
-def debayer_mht_pallas_planes(bayer: jax.Array, phase: str):
+@partial(jax.jit, static_argnames=("phase", "interpret"))
+def debayer_mht_pallas_planes(bayer: jax.Array, phase: str,
+                              interpret: bool = False):
     """Planar wrapper: [B, H, W] -> three [B, H, W] uint8 planes."""
-    return _planes_fn(phase, debayer_mht_pallas)(bayer)
+    return _planes_fn(phase, "mht", interpret)(bayer)

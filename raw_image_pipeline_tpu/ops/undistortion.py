@@ -14,10 +14,13 @@ matching cv2 5.0's float-map INTER_LINEAR path exactly (older OpenCV used a
 reference applies this per frame (undistortion.cpp:240-245).
 
 The maps are computed once per calibration and closed over as constants;
-the per-frame device work is 4 gathers + fused multiply-adds. The gathers
-are the one genuinely memory-irregular op in the ISP — a Pallas kernel with
-row-banded DMA is the planned fast path; the XLA gather version below is
-the correctness baseline.
+the per-frame device work is 2 chunked row-gathers + the bilinear blend.
+The gathers are the one genuinely memory-irregular op in the ISP and run at
+the TPU gather engine's random-row wall (~70 GB/s, measured); every escape
+tried so far is a measured dead end — sliding row-band DMA and in-kernel
+take_along_axis beyond the native [8, 128] tile are Mosaic-blocked, and
+one-hot-matmul fetch is ~30x worse (see ROADMAP.md's negative-results
+list before re-attempting any of these).
 
 Like the reference, the fisheye model is used for any distortion_model
 string except "none" (undistortion.cpp:199-220, SURVEY.md §8.8).

@@ -69,13 +69,18 @@ def build_multicamera_pipeline(
     frame_hw: Optional[Tuple[int, int]] = None,
     with_state: bool = False,
     temporal_mode: str = "cameras",
+    mesh=None,
 ) -> BuiltPipeline:
     """One jitted camera-blocked program over [n_cameras, batch, H, W].
 
     Returns a BuiltPipeline whose params carry a leading camera axis on
     the per-camera entries (the remap maps); call as
     outputs, state = pipe(frames, state) with frames [C, B, H, W].
-    """
+
+    mesh: the jax.sharding.Mesh this program will be sharded over, if any —
+    a multi-device mesh pins the GSPMD-partitionable op implementations
+    (same contract as build_pipeline's mesh hint; GSPMD cannot partition a
+    pallas_call)."""
     n = len(calibrations)
     if n == 0:
         raise ValueError("need at least one camera calibration")
@@ -119,16 +124,21 @@ def build_multicamera_pipeline(
     src_hw = _post_flip_shape(
         *frame_hw, base_config.flip.angle if base_config.flip.enabled else 0
     )
+    n_mesh = 1 if mesh is None else int(mesh.size)
     single_fn = make_isp_fn(
         base_config.replace(calibration=calibrations[0]),
         encoding, with_state, keep_intermediates=False,
         remap_src_hw=src_hw, temporal_mode=temporal_mode, n_cameras=n,
+        mesh_devices=n_mesh,
     )
     if with_state:
         jitted = jax.jit(single_fn)
     else:
         jitted = jax.jit(lambda p, px, state: (single_fn(p, px, None)[0], state))
 
+    from raw_image_pipeline_tpu.pipeline import _impls_for_sharding
+
     return BuiltPipeline(
-        config=base_config, params=params, ccc_model=ccc_model, fn=jitted
+        config=base_config, params=params, ccc_model=ccc_model, fn=jitted,
+        selected_impls=_impls_for_sharding(n_mesh),
     )

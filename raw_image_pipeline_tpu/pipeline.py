@@ -162,9 +162,29 @@ class BuiltPipeline:
     params: IspParams
     ccc_model: Optional[CCCModel]
     fn: Any  # jitted (params, pixels, state) -> (outputs dict, state)
+    # implementation backends the trace pinned per op (None = the op's
+    # module-level "auto" selector decides at trace time); set by
+    # build_pipeline from its sharding hint — see _impls_for_sharding
+    selected_impls: Optional[Dict[str, Optional[str]]] = None
 
     def __call__(self, pixels, state=None):
         return self.fn(self.params, pixels, state)
+
+
+def _impls_for_sharding(n_mesh_devices: int) -> Dict[str, Optional[str]]:
+    """Per-op implementation pins for a multi-device mesh.
+
+    GSPMD cannot partition a pallas_call — not even along the grid batch
+    axis: on a real TPU mesh the default "auto" selectors would land the
+    Pallas debayer/histogram/response kernels inside a partitioned
+    program, which JAX rejects (or silently replicates). The XLA/einsum
+    formulations partition cleanly — GSPMD shards the batch axis, inserts
+    the debayer halo exchanges for a space split, and psums the partial
+    histograms. Single-device builds keep every "auto" fast path
+    (None = defer to the module selector)."""
+    if n_mesh_devices > 1:
+        return {"demosaic": "xla", "histogram": "einsum", "response": "xla"}
+    return {"demosaic": None, "histogram": None, "response": None}
 
 
 def _post_flip_shape(h: int, w: int, angle: int) -> Tuple[int, int]:
@@ -273,8 +293,15 @@ def make_isp_fn(
     planar_internals: bool = True,
     remap_tuning: Optional[Tuple[int, int]] = None,
     n_cameras: int = 1,
+    mesh_devices: int = 1,
 ):
     """Trace-time assembly of the chain for a fixed encoding.
+
+    mesh_devices > 1 declares that the program will run over a multi-device
+    mesh: the GSPMD-partitionable op implementations are pinned (see
+    _impls_for_sharding) so the resulting program partitions instead of
+    tripping over an unpartitionable pallas_call on real multi-chip
+    hardware.
 
     Returns fn(params, pixels, state) -> (outputs, new_state) where outputs
     is a dict with "processed" and (if keep_intermediates) the reference's
@@ -327,6 +354,7 @@ def make_isp_fn(
         if gcfg.enabled and not (gcfg.gpu and gcfg.method == "default")
         else None
     )
+    impls = _impls_for_sharding(mesh_devices)
 
     def fn(params: IspParams, pixels: jax.Array, state: Optional[IspState]):
         outputs: Dict[str, jax.Array] = {}
@@ -404,11 +432,13 @@ def make_isp_fn(
                         img = flip_op(img, flip_angle, spatial_axes=(-2, -1))
                 enc = hoist_enc if hoist_flip else encoding
                 if planar_from_debayer:
-                    planes = debayer_planes(img, enc, deb.algorithm)
+                    planes = debayer_planes(
+                        img, enc, deb.algorithm, impl=impls["demosaic"]
+                    )
                     if cpu_swap:
                         planes = planes[::-1]
                 else:
-                    img = debayer(img, enc, deb.algorithm)
+                    img = debayer(img, enc, deb.algorithm, impl=impls["demosaic"])
                     if cpu_swap:
                         img = img[..., ::-1]
             elif encoding in _UNSUPPORTED_BAYER:
@@ -484,11 +514,12 @@ def make_isp_fn(
                             img, ccc_ops.SMALL_H, ccc_ops.SMALL_W
                         )
                     hist = ccc_ops.log_chroma_histogram(
-                        small, wb.saturation_bright_thr, wb.saturation_dark_thr
+                        small, wb.saturation_bright_thr, wb.saturation_dark_thr,
+                        impl=impls["histogram"],
                     )
                     resp = ccc_ops.ccc_response(
                         hist, params.ccc_filt_dft_re, params.ccc_filt_dft_im,
-                        params.ccc_bias,
+                        params.ccc_bias, impl=impls["response"],
                     )
                     uv = ccc_ops.response_argmax(resp)
                     if use_kalman:
@@ -753,12 +784,24 @@ def build_pipeline(
     debug: bool = False,
     temporal_mode: str = "cameras",
     microbatch: Optional[int] = None,
+    mesh: Optional[Any] = None,
+    spatial_shards: Optional[int] = None,
 ) -> BuiltPipeline:
     """Build and jit the full ISP for one configuration.
 
     frame_hw defaults to the calibration's image size. The returned object
     is callable: outputs, state = pipe(pixels, state). Input pixels:
     [B, H, W] uint8 for Bayer encodings, [B, H, W, 3] for color.
+
+    mesh / spatial_shards: declare the sharding this pipeline will run
+    under so the trace pins GSPMD-partitionable op implementations
+    (pipe.selected_impls records the choice; docs/scaling.md). GSPMD
+    cannot partition a pallas_call at all — not even along the batch axis
+    — so ANY multi-device mesh (data and/or space) pins the xla/einsum
+    formulations; those partition cleanly (halo exchanges for the stencil,
+    psums for the histogram). Pass the jax.sharding.Mesh the program will
+    run over, or spatial_shards (the "space" axis size) directly — either
+    engages the pinning; single-device builds keep the Pallas fast paths.
 
     temporal_mode (only relevant with CCC temporal consistency + state):
       * "cameras" — batch entries are independent streams, state is batched
@@ -789,12 +832,18 @@ def build_pipeline(
     src_hw = _post_flip_shape(
         *frame_hw, config.flip.angle if config.flip.enabled else 0
     )
+    n_mesh = 1 if mesh is None else int(mesh.size)  # total mesh devices
+    if spatial_shards is not None and spatial_shards > n_mesh:
+        n_mesh = int(spatial_shards)
     raw_fn = make_isp_fn(
         config, encoding, with_state, keep_intermediates, debug, temporal_mode,
-        remap_src_hw=src_hw,
+        remap_src_hw=src_hw, mesh_devices=n_mesh,
     )
     if microbatch:
         raw_fn = _chunked_fn(raw_fn, microbatch, with_state)
 
     jitted = jax.jit(raw_fn, donate_argnums=(1,) if donate else ())
-    return BuiltPipeline(config=config, params=params, ccc_model=ccc_model, fn=jitted)
+    return BuiltPipeline(
+        config=config, params=params, ccc_model=ccc_model, fn=jitted,
+        selected_impls=_impls_for_sharding(n_mesh),
+    )

@@ -11,7 +11,9 @@ from raw_image_pipeline_tpu.ops.debayer import debayer_bilinear
 @pytest.fixture()
 def interpret_pallas(monkeypatch):
     orig = pl.pallas_call
-    monkeypatch.setattr(pl, "pallas_call", lambda *a, **k: orig(*a, interpret=True, **k))
+    monkeypatch.setattr(
+        pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    )
 
 
 @pytest.mark.parametrize("phase", ["rggb", "grbg", "gbrg", "bggr"])
@@ -50,6 +52,50 @@ def test_tile_rows_for():
     assert tile_rows_for(270) is None  # no multiple-of-8 divisor
     assert tile_rows_for(1079) is None
     assert tile_rows_for(72) == 72
+
+
+@pytest.mark.parametrize("phase", ["rggb", "grbg", "gbrg", "bggr"])
+def test_mht_pallas_matches_xla_path(phase):
+    """The banded-DMA MHT kernel must equal debayer_mht bit-for-bit,
+    borders (clamp-stencil ring) included."""
+    from raw_image_pipeline_tpu.ops.debayer import debayer_mht
+    from raw_image_pipeline_tpu.ops.debayer_pallas import (
+        debayer_mht_pallas_nhwc,
+    )
+
+    rng = np.random.default_rng(hash(phase) % 2**31)
+    bay = rng.integers(0, 256, (2, 128, 44), np.uint8)
+    ref = np.asarray(debayer_mht(bay, phase))
+    got = np.asarray(debayer_mht_pallas_nhwc(bay, phase, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_mht_pallas_planes_and_routing(interpret_pallas):
+    """debayer/debayer_planes route algorithm='mht_pallas' through the
+    kernel, identical to the plain 'mht' XLA result."""
+    from raw_image_pipeline_tpu.ops import debayer as D
+    from raw_image_pipeline_tpu.ops import debayer_pallas as dp
+
+    rng = np.random.default_rng(3)
+    bay = rng.integers(0, 256, (2, 64, 44), np.uint8)
+    ref = np.asarray(D.debayer(bay, "bayer_gbrg8", "mht"))
+    got_packed = np.asarray(D.debayer(bay, "bayer_gbrg8", "mht_pallas"))
+    np.testing.assert_array_equal(got_packed, ref)
+    planes = D.debayer_planes(bay, "bayer_gbrg8", "mht_pallas")
+    got = np.stack([np.asarray(p) for p in planes], axis=-1)
+    np.testing.assert_array_equal(got, ref)
+    # the direct interpret plumbing agrees too
+    planes2 = dp.debayer_mht_pallas_planes(bay, "grbg", interpret=True)
+    got2 = np.stack([np.asarray(p) for p in planes2], axis=-1)
+    np.testing.assert_array_equal(got2, ref)
+
+
+def test_mht_tile_rows_for():
+    from raw_image_pipeline_tpu.ops.debayer_pallas import mht_tile_rows_for
+
+    assert mht_tile_rows_for(1080) == 40
+    assert mht_tile_rows_for(1024) == 64
+    assert mht_tile_rows_for(270) is None
 
 
 def test_pallas_vmap_folds_into_grid(interpret_pallas):

@@ -99,6 +99,59 @@ def test_full_chain_spatial_sharding_matches():
     )
 
 
+def test_sharding_hint_selects_partitionable_impls():
+    """build_pipeline(mesh=...) must pin the GSPMD-partitionable impls —
+    the real-TPU failure (GSPMD cannot partition a pallas_call) cannot
+    reproduce on the CPU mesh where "auto" already resolves to xla, so the
+    SELECTION is asserted, plus numerics under the hint."""
+    import __graft_entry__ as ge
+
+    h, w = 112, 96
+    config = ge._full_config((h, w), for_undistortion=True)
+    mesh = make_mesh(space=2)
+    pipe = build_pipeline(config, "bayer_gbrg8", frame_hw=(h, w), mesh=mesh)
+    assert pipe.selected_impls == {
+        "demosaic": "xla", "histogram": "einsum", "response": "xla"
+    }
+    # spatial_shards alone engages the same pinning
+    pipe2 = build_pipeline(config, "bayer_gbrg8", frame_hw=(h, w),
+                           spatial_shards=4)
+    assert pipe2.selected_impls == pipe.selected_impls
+    # single-device builds keep the auto fast paths
+    pipe3 = build_pipeline(config, "bayer_gbrg8", frame_hw=(h, w))
+    assert pipe3.selected_impls == {
+        "demosaic": None, "histogram": None, "response": None
+    }
+
+    # pinned impls stay bitwise-identical to the default build
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (4, h, w), np.uint8)  # divides data=4
+    ref, _ = pipe3.fn(pipe3.params, frames, None)
+    sharded = shard_batch(jax.numpy.asarray(frames), mesh, spatial=True)
+    out, _ = pipe.fn(pipe.params, sharded, None)
+    np.testing.assert_array_equal(
+        np.asarray(out["processed"]), np.asarray(ref["processed"])
+    )
+
+
+def test_multicamera_mesh_hint():
+    from raw_image_pipeline_tpu.parallel.multicamera import (
+        build_multicamera_pipeline,
+    )
+    import __graft_entry__ as ge
+
+    h, w = 64, 48
+    config = ge._full_config((h, w), for_undistortion=False)
+    calib = config.calibration
+    mesh = make_mesh()
+    mc = build_multicamera_pipeline(config, [calib, calib], "bayer_gbrg8",
+                                    frame_hw=(h, w), mesh=mesh)
+    assert mc.selected_impls["demosaic"] == "xla"
+    mc1 = build_multicamera_pipeline(config, [calib, calib], "bayer_gbrg8",
+                                     frame_hw=(h, w))
+    assert mc1.selected_impls["demosaic"] is None
+
+
 def test_mesh_shapes():
     mesh = make_mesh(space=2)
     assert mesh.devices.shape == (4, 2)
