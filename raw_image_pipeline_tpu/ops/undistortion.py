@@ -220,10 +220,28 @@ def remap_precompute(
 # same fast rate.
 DEFAULT_REMAP_TUNING = (2, 130_000)
 
+# Blend backend selector, same convention as debayer.set_bilinear_impl —
+# but here "auto" resolves to the XLA formulation EVERYWHERE: the XLA
+# blend fuses into the gather kernel (taps never hit HBM) and measures
+# faster than the Pallas blend kernel on TPU (negative result, round 5 —
+# see ops/remap_blend_pallas.py's module docstring for the numbers).
+# "pallas" stays selectable for the record.
+_BLEND_IMPL = "auto"
+
+
+def set_remap_blend_impl(impl: str) -> None:
+    """Select the remap blend backend: "auto" | "xla" | "pallas". Call
+    before building pipelines (already-traced programs keep theirs)."""
+    global _BLEND_IMPL
+    if impl not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown remap blend impl [{impl}]")
+    _BLEND_IMPL = impl
+
 
 def _remap_rows(arrs, base: jax.Array, weights: jax.Array,
                 h: int, w: int,
-                tuning: Tuple[int, int] = DEFAULT_REMAP_TUNING) -> jax.Array:
+                tuning: Tuple[int, int] = DEFAULT_REMAP_TUNING,
+                blend_impl: str | None = None) -> jax.Array:
     """Shared gather/blend core.
 
     arrs: list of per-camera [H*W, K] u8 sources (any K-column ordering;
@@ -294,6 +312,14 @@ def _remap_rows(arrs, base: jax.Array, weights: jax.Array,
     chunk = -(-n // n_chunks)
     # runtime zero for the blend seal (weights are finite by construction)
     rt_zero = (weights[0, 0] != weights[0, 0]).astype(jnp.int32)
+    blend_impl = blend_impl or _BLEND_IMPL
+    # "auto" == "xla": the fused gather+blend measures faster than the
+    # Pallas kernel (see module selector comment above)
+    use_pallas_blend = slots == 2 and blend_impl == "pallas"
+    if use_pallas_blend:
+        # per-row weight quadruples for the kernel's [rb, 4] blocks; one
+        # transpose of 16 B/row, materialized once (~0.7 us/frame at B=128)
+        wt_all = jax.lax.optimization_barrier(jnp.transpose(weights))
     outs = []
     for s in range(n_chunks):
         sl = slice(s * chunk, min((s + 1) * chunk, n))
@@ -304,6 +330,19 @@ def _remap_rows(arrs, base: jax.Array, weights: jax.Array,
         if slots == 2:
             top = jnp.take(packed, bs, axis=0)  # [Nc, 2K] u8
             bot = jnp.take(packed, bs + w, axis=0)  # [Nc, 2K] u8
+            if use_pallas_blend:
+                # one VMEM-resident pass: convert + weight FMA + round
+                # (bitwise equal to the sealed chain below; see
+                # ops/remap_blend_pallas.py and bench.py's on-chip check)
+                from raw_image_pipeline_tpu.ops.remap_blend_pallas import (
+                    blend_rows_pallas,
+                )
+
+                outs.append(blend_rows_pallas(
+                    top, bot, wt_all[sl],
+                    interpret=jax.default_backend() == "cpu",
+                ))
+                continue
             taps = (top[:, 0:k], top[:, k:2 * k],
                     bot[:, 0:k], bot[:, k:2 * k])
         else:
@@ -324,7 +363,7 @@ def _remap_rows(arrs, base: jax.Array, weights: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("out_hw", "src_hw", "batch_minor",
-                                   "tuning", "n_cameras"))
+                                   "tuning", "n_cameras", "blend_impl"))
 def remap_bilinear_u8(
     image: jax.Array, base: jax.Array, weights: jax.Array,
     out_hw: Tuple[int, int],
@@ -332,6 +371,7 @@ def remap_bilinear_u8(
     batch_minor: bool = False,
     tuning: Tuple[int, int] = DEFAULT_REMAP_TUNING,
     n_cameras: int = 1,
+    blend_impl: str | None = None,
 ) -> jax.Array:
     """cv::remap(INTER_LINEAR, BORDER_CONSTANT, 0) with precomputed
     (base, weights) from remap_precompute.
@@ -373,7 +413,7 @@ def remap_bilinear_u8(
                 image[:, :, cam * bc:(cam + 1) * bc, :].reshape(h * w, bc * c)
                 for cam in range(n_cameras)
             ]
-            out_u8 = _remap_rows(arrs, base, weights, h, w, tuning)
+            out_u8 = _remap_rows(arrs, base, weights, h, w, tuning, blend_impl)
             return out_u8.reshape((n_cameras, ho, wo, bc, c))
         bc = image.shape[0] // n_cameras
         arrs = [
@@ -382,7 +422,7 @@ def remap_bilinear_u8(
             ).reshape(h * w, bc * c)
             for cam in range(n_cameras)
         ]
-        out_u8 = _remap_rows(arrs, base, weights, h, w, tuning)
+        out_u8 = _remap_rows(arrs, base, weights, h, w, tuning, blend_impl)
         out = jnp.moveaxis(out_u8.reshape(n_cameras, ho * wo, bc, c), 2, 1)
         return out.reshape(n_cameras * bc, ho, wo, c)
 
@@ -393,7 +433,7 @@ def remap_bilinear_u8(
         lead = image.shape[:-3]
         arr = image.reshape((-1, h * w, c))
         arr = jnp.moveaxis(arr, 0, 1).reshape(h * w, -1)
-    out_u8 = _remap_rows([arr], base, weights, h, w, tuning)
+    out_u8 = _remap_rows([arr], base, weights, h, w, tuning, blend_impl)
 
     if batch_minor:
         return out_u8.reshape((ho, wo) + lead + (c,))
@@ -402,13 +442,15 @@ def remap_bilinear_u8(
     return out
 
 
-@partial(jax.jit, static_argnames=("out_hw", "src_hw", "tuning", "n_cameras"))
+@partial(jax.jit, static_argnames=("out_hw", "src_hw", "tuning", "n_cameras",
+                                   "blend_impl"))
 def remap_bilinear_u8_planes(
     planes, base: jax.Array, weights: jax.Array,
     out_hw: Tuple[int, int],
     src_hw: Tuple[int, int] | None = None,
     tuning: Tuple[int, int] = DEFAULT_REMAP_TUNING,
     n_cameras: int = 1,
+    blend_impl: str | None = None,
 ):
     """Planar batch-minor remap: tuple of [H, W, B] u8 planes ->
     [Ho, Wo, C, B] u8 (channel-blocked — planes stay contiguous; the
@@ -439,7 +481,7 @@ def remap_bilinear_u8_planes(
     planes = jax.lax.optimization_barrier(tuple(planes))
     if n_cameras == 1:
         arr = jnp.concatenate([p.reshape(h * w, -1) for p in planes], axis=1)
-        out_u8 = _remap_rows([arr], base, weights, h, w, tuning)
+        out_u8 = _remap_rows([arr], base, weights, h, w, tuning, blend_impl)
         lead = planes[0].shape[2:]
         return out_u8.reshape((ho, wo, c) + lead)
     # camera-major B axis: camera cam's columns are the cam-th B' block of
@@ -453,7 +495,7 @@ def remap_bilinear_u8_planes(
         )
         for cam in range(n_cameras)
     ]
-    out_u8 = _remap_rows(arrs, base, weights, h, w, tuning)  # [C*N, c*bc]
+    out_u8 = _remap_rows(arrs, base, weights, h, w, tuning, blend_impl)  # [C*N, c*bc]
     return out_u8.reshape((n_cameras, ho, wo, c, bc))
 
 

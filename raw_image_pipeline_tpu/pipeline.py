@@ -183,8 +183,10 @@ def _impls_for_sharding(n_mesh_devices: int) -> Dict[str, Optional[str]]:
     histograms. Single-device builds keep every "auto" fast path
     (None = defer to the module selector)."""
     if n_mesh_devices > 1:
-        return {"demosaic": "xla", "histogram": "einsum", "response": "xla"}
-    return {"demosaic": None, "histogram": None, "response": None}
+        return {"demosaic": "xla", "histogram": "einsum", "response": "xla",
+                "remap_blend": "xla"}
+    return {"demosaic": None, "histogram": None, "response": None,
+            "remap_blend": None}
 
 
 def _post_flip_shape(h: int, w: int, angle: int) -> Tuple[int, int]:
@@ -669,6 +671,7 @@ def make_isp_fn(
             if run_undist:
                 out_hw = (calib.image_height, calib.image_width)
                 rt = {} if remap_tuning is None else {"tuning": remap_tuning}
+                rt["blend_impl"] = impls["remap_blend"]
                 # per-camera maps (camera-blocked build): stacked base
                 # [n_cameras, N] routes each camera block through its own
                 # map in one flat gather; a flat base (shared calibration)

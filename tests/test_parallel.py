@@ -111,7 +111,8 @@ def test_sharding_hint_selects_partitionable_impls():
     mesh = make_mesh(space=2)
     pipe = build_pipeline(config, "bayer_gbrg8", frame_hw=(h, w), mesh=mesh)
     assert pipe.selected_impls == {
-        "demosaic": "xla", "histogram": "einsum", "response": "xla"
+        "demosaic": "xla", "histogram": "einsum", "response": "xla",
+        "remap_blend": "xla",
     }
     # spatial_shards alone engages the same pinning
     pipe2 = build_pipeline(config, "bayer_gbrg8", frame_hw=(h, w),
@@ -120,7 +121,8 @@ def test_sharding_hint_selects_partitionable_impls():
     # single-device builds keep the auto fast paths
     pipe3 = build_pipeline(config, "bayer_gbrg8", frame_hw=(h, w))
     assert pipe3.selected_impls == {
-        "demosaic": None, "histogram": None, "response": None
+        "demosaic": None, "histogram": None, "response": None,
+        "remap_blend": None,
     }
 
     # pinned impls stay bitwise-identical to the default build

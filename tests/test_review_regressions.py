@@ -89,7 +89,9 @@ def test_pallas_algorithm_matches_bilinear_through_pipeline(monkeypatch):
     """Finding 3: algorithm="bilinear_pallas" must carry the CPU swap quirk
     and be bit-identical to "bilinear" end to end."""
     orig = pl.pallas_call
-    monkeypatch.setattr(pl, "pallas_call", lambda *a, **k: orig(*a, interpret=True, **k))
+    monkeypatch.setattr(
+        pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    )
     rng = np.random.default_rng(2)
     bay = rng.integers(0, 256, (1, 256, 64), np.uint8)
     cfg = PipelineConfig()

@@ -190,3 +190,29 @@ def test_remap_camera_blocked_matches_per_camera():
             np.testing.assert_array_equal(
                 np.transpose(out_p[cam], (3, 0, 1, 2)), refs[cam]
             )
+
+
+def test_pallas_blend_matches_xla():
+    """The Pallas blend kernel (a recorded negative perf result — see
+    ops/remap_blend_pallas.py) must stay bit-identical to the sealed XLA
+    blend chain, batched and ragged-edge rows included."""
+    import jax.numpy as jnp
+
+    from raw_image_pipeline_tpu.ops.undistortion import (
+        remap_bilinear_u8,
+        remap_precompute,
+    )
+
+    rng = np.random.default_rng(17)
+    h, w = 60, 44
+    img = rng.integers(0, 256, (h, w, 5, 3), np.uint8)  # batch-minor
+    mx = (rng.random((h, w)) * (w + 6) - 3).astype(np.float32)
+    my = (rng.random((h, w)) * (h + 6) - 3).astype(np.float32)
+    base, weights = remap_precompute(mx, my, (h, w))
+    args = (jnp.asarray(img), jnp.asarray(base), jnp.asarray(weights),
+            (h, w), (h, w))
+    ref = np.asarray(remap_bilinear_u8(*args, batch_minor=True,
+                                       blend_impl="xla"))
+    got = np.asarray(remap_bilinear_u8(*args, batch_minor=True,
+                                       blend_impl="pallas"))
+    np.testing.assert_array_equal(got, ref)
