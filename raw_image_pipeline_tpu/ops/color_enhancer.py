@@ -3,6 +3,17 @@
 BGR -> HSV (u8), per-channel gain multiply with cv::multiply rounding
 (round-half-even + saturate, verified exact vs cv2), HSV -> BGR.
 
+cv2's HSV->BGR runs TWO row kernels: the 32-px SIMD vector kernel (final
+*255 truncated) and the scalar tail kernel for the last `width % 32`
+pixels of every row (final *255 rounded) — whole rows below 32 px are all
+scalar. Both kernels are replicated bit-exactly (ops/colorspace) and mixed
+here by column, so the enhancer is bit-exact vs cv2 at EVERY frame size —
+including the reference's native 720x540 (16-px scalar tail per row),
+which previously sat in a <=1 LSB envelope. Widths divisible by 32 (the
+1080p headline) take the pure-SIMD path unchanged. The 32-px split point
+matches this repo's x86 AVX2 cv2 5.0 oracle; a NEON build of the
+reference would split at 16 (CV_SIMD_PX).
+
 Note the reference's gain plumbing is cross-wired (setHueGain writes
 value_gain_ etc., color_enhancer.cpp:23-33 — SURVEY.md §8.4). This op takes
 the three gains at face value; the pipeline layer decides how config keys
@@ -22,14 +33,46 @@ from raw_image_pipeline_tpu.ops.colorspace import (
     bgr_to_hsv_planes,
     bgr_to_hsv_u8,
     hsv_to_bgr_planes,
-    hsv_to_bgr_u8,
+    hsv_to_bgr_planes_scalar,
 )
 from raw_image_pipeline_tpu.ops.common import round_u8
 
+# cv2's row-vector width in PIXELS for the u8 HSV->BGR kernel (x86 AVX2
+# build of the cv2 5.0 oracle; empirically determined — see module doc)
+CV_SIMD_PX = 32
 
-def enhance_planes(b: jax.Array, g: jax.Array, r: jax.Array, gains: jax.Array):
+
+def _hsv_to_bgr_mixed(h, s, v, w_axis: int):
+    """cv2's per-row kernel mix: SIMD columns then the scalar tail."""
+    w = h.shape[w_axis]
+    t = w % CV_SIMD_PX
+    if t == 0:
+        return hsv_to_bgr_planes(h, s, v)
+    ax = w_axis if w_axis >= 0 else h.ndim + w_axis
+
+    def head(x):
+        return jax.lax.slice_in_dim(x, 0, w - t, axis=ax)
+
+    def tail(x):
+        return jax.lax.slice_in_dim(x, w - t, w, axis=ax)
+
+    if t == w:  # width < 32: all scalar
+        return hsv_to_bgr_planes_scalar(h, s, v)
+    hd = hsv_to_bgr_planes(head(h), head(s), head(v))
+    tl = hsv_to_bgr_planes_scalar(tail(h), tail(s), tail(v))
+    return tuple(
+        jnp.concatenate([a, b], axis=ax) for a, b in zip(hd, tl)
+    )
+
+
+def enhance_planes(b: jax.Array, g: jax.Array, r: jax.Array, gains: jax.Array,
+                   w_axis: int = -1):
     """Planar form: three u8 planes -> three u8 planes. Same arithmetic as
-    `enhance` (the packed op slices/stacks around the same planar cores)."""
+    `enhance` (the packed op slices/stacks around the same planar cores).
+
+    w_axis: which plane axis is the frame's W (cv2's kernel mix is per
+    ROW): -1 for [..., H, W] batch-major planes, 1 for the pipeline's
+    batch-minor [H, W, B] planes."""
     f32 = jnp.float32
     h, s, v = bgr_to_hsv_planes(b, g, r)
     # materialize the forward half (same finding as vignetting's
@@ -40,12 +83,25 @@ def enhance_planes(b: jax.Array, g: jax.Array, r: jax.Array, gains: jax.Array):
     h = round_u8(h.astype(f32) * gains[0].astype(f32))
     s = round_u8(s.astype(f32) * gains[1].astype(f32))
     v = round_u8(v.astype(f32) * gains[2].astype(f32))
-    return hsv_to_bgr_planes(h, s, v)
+    return _hsv_to_bgr_mixed(h, s, v, w_axis)
 
 
 @jax.jit
 def enhance(image: jax.Array, gains: jax.Array) -> jax.Array:
-    """image: [..., 3] uint8 BGR; gains: [3] float (hue, saturation, value)."""
-    hsv = bgr_to_hsv_u8(image)
-    scaled = round_u8(hsv.astype(jnp.float32) * gains.astype(jnp.float32))
-    return hsv_to_bgr_u8(scaled)
+    """image: [..., H, W, 3] uint8 BGR; gains: [3] float (hue, saturation,
+    value). For batch-minor packed layouts use enhance_packed(w_axis=...)."""
+    return enhance_packed(image, gains)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("w_axis",))
+def enhance_packed(image: jax.Array, gains: jax.Array,
+                   w_axis: int = -2) -> jax.Array:
+    """Packed form; w_axis indexes the frame's W within `image`'s axes
+    (default -2 for [..., H, W, 3])."""
+    planes = (image[..., 0], image[..., 1], image[..., 2])
+    ax = w_axis + 1 if w_axis < 0 else w_axis  # channel axis dropped
+    out = enhance_planes(*planes, gains, w_axis=ax)
+    return jnp.stack(out, axis=-1)

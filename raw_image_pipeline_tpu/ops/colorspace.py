@@ -123,14 +123,17 @@ def _dekker_fma_1_minus(s: jax.Array, ff: jax.Array) -> jax.Array:
     return fma_f32(-s, ff, jnp.float32(1.0))
 
 
-def hsv_to_bgr_planes(h: jax.Array, s: jax.Array, v: jax.Array):
-    """Planar core of hsv_to_bgr_u8 (same arithmetic; see
-    bgr_to_hsv_planes for the planar rationale).
-
-    cv2 5.0 computes h*(6/180) in f32, tables
-    [v, v*(1-s), v*fma(-s,ff,1), v*fma(s,ff-1,1)] and TRUNCATES the final
-    *255 product (no rounding). Verified equal on ALL 256^3 u8 HSV inputs
-    (tests/test_pointwise_ops.py)."""
+def _hsv_to_bgr_planes_core(h: jax.Array, s: jax.Array, v: jax.Array,
+                            scalar_kernel: bool):
+    """Shared HSV->BGR float chain. cv2 5.0's two row kernels differ ONLY
+    in the final *255 conversion: the SIMD kernel (32-px vector steps)
+    TRUNCATES, the scalar kernel (the `width % 32` tail of every row, or
+    whole rows below 32 px) rounds via saturate_cast/cvRound (half-even).
+    The tab entries are identical — the scalar source's plain
+    `v*(1 - s*h)` is compiler-contracted into the same single-rounding
+    fma the SIMD kernel uses (GCC -ffp-contract default; verified
+    exhaustively: 0 mismatches vs cv2 on ALL 2^24 inputs for BOTH
+    kernels, width-16 Mats isolating the scalar one)."""
     f32 = jnp.float32
     h = h.astype(f32)
     s = s.astype(f32) * f32(1.0 / 255.0)
@@ -153,9 +156,33 @@ def hsv_to_bgr_planes(h: jax.Array, s: jax.Array, v: jax.Array):
         out = tab[_SECTOR_DATA[0][channel]]
         for sec in range(1, 6):
             out = jnp.where(sector == sec, tab[_SECTOR_DATA[sec][channel]], out)
-        return jnp.floor(out * f32(255.0)).astype(jnp.uint8)
+        prod = out * f32(255.0)
+        if scalar_kernel:
+            return jnp.clip(jnp.rint(prod), 0, 255).astype(jnp.uint8)
+        return jnp.floor(prod).astype(jnp.uint8)
 
     return pick(0), pick(1), pick(2)
+
+
+def hsv_to_bgr_planes(h: jax.Array, s: jax.Array, v: jax.Array):
+    """Planar core of hsv_to_bgr_u8 (same arithmetic; see
+    bgr_to_hsv_planes for the planar rationale).
+
+    cv2 5.0's SIMD row kernel: h*(6/180) in f32, tables
+    [v, v*(1-s), v*fma(-s,ff,1), v*fma(s,ff-1,1)], final *255 product
+    TRUNCATED (no rounding). Verified equal on ALL 256^3 u8 HSV inputs
+    (tests/test_pointwise_ops.py). For the scalar-kernel columns cv2 uses
+    below its 32-px vector width see hsv_to_bgr_planes_scalar."""
+    return _hsv_to_bgr_planes_core(h, s, v, scalar_kernel=False)
+
+
+def hsv_to_bgr_planes_scalar(h: jax.Array, s: jax.Array, v: jax.Array):
+    """cv2 5.0's SCALAR row kernel (saturate_cast rounding instead of the
+    SIMD truncation; same fma tab entries — see _hsv_to_bgr_planes_core).
+    cv2 applies it to the last `width % 32` pixels of every row (all
+    pixels when width < 32); verified equal on ALL 256^3 u8 HSV inputs
+    against width-16 cv2 Mats (tests/test_pointwise_ops.py)."""
+    return _hsv_to_bgr_planes_core(h, s, v, scalar_kernel=True)
 
 
 @jax.jit

@@ -49,7 +49,10 @@ from raw_image_pipeline_tpu.ops.color_calibration import (
     color_correct,
     color_correct_planes,
 )
-from raw_image_pipeline_tpu.ops.color_enhancer import enhance, enhance_planes
+from raw_image_pipeline_tpu.ops.color_enhancer import (
+    enhance_packed,
+    enhance_planes,
+)
 from raw_image_pipeline_tpu.ops.debayer import (
     BAYER_ENCODINGS,
     debayer,
@@ -645,13 +648,21 @@ def make_isp_fn(
                     img = vignetting_correct(img, mask)
         dump("05_vignetting_correction", img)
 
-        # 7. color enhancer (HSV roundtrip — 3-channel only)
+        # 7. color enhancer (HSV roundtrip — 3-channel only). The frame's
+        # W axis position (cv2 mixes its SIMD/scalar row kernels by
+        # column; ops/color_enhancer) depends on the internal layout.
         with jax.named_scope("isp_color_enhancer"):
             if config.color_enhancer.enabled and is_color:
                 if planar:
-                    planes = enhance_planes(*planes, params.enhancer_gains)
+                    planes = enhance_planes(
+                        *planes, params.enhancer_gains,
+                        w_axis=1 if batch_minor else -1,
+                    )
                 else:
-                    img = enhance(img, params.enhancer_gains)
+                    img = enhance_packed(
+                        img, params.enhancer_gains,
+                        w_axis=1 if batch_minor else -2,
+                    )
         dump("06_color_enhancer", img)
 
         # 8. undistortion — the pre-undistort snapshot is taken whether or

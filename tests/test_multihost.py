@@ -53,10 +53,13 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 import __graft_entry__ as ge
 from raw_image_pipeline_tpu.pipeline import build_pipeline, init_state
 
-h, w = 112, 96
+# production-proportioned frame (matches dryrun_multichip): the CCC
+# working resize (360x270) is an actual DOWNSAMPLE and the fisheye remap
+# displacements are non-trivial at 272x368
+h, w = 272, 368
 config = ge._full_config((h, w), for_undistortion=True)
 pipe = build_pipeline(config, "bayer_gbrg8", frame_hw=(h, w),
-                      with_state=True, temporal_mode="cameras")
+                      with_state=True, temporal_mode="cameras", mesh=mesh)
 
 # deterministic global batch; each process ingests only its own half
 rng = np.random.default_rng(42)

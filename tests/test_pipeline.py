@@ -137,14 +137,13 @@ def test_api_full_chain_vs_cv2_golden(bayer_frame):
                        borderValue=0)
 
     d = np.abs(out.astype(int) - golden.astype(int))
-    # The color-enhancer stage sits on cv2 5.0's HSV2BGR SIMD/scalar
-    # .5-boundary split (see ops/colorspace.py): ~1/3 of pixels differ by
-    # exactly 1 LSB from this cv2 build's SIMD choice, and the final remap
-    # can blend two such pixels into a 2. Everything above that envelope
-    # would be a real bug.
-    assert d.max() <= 2, d.max()
-    assert (d > 1).mean() < 1e-4
-    assert d.mean() < 0.5
+    # Every stage through the enhancer is now bit-exact at 720x540 (the
+    # enhancer mixes cv2's SIMD and scalar HSV2BGR row kernels by column —
+    # round-5 fix, ops/color_enhancer); the only residual is cv2.remap's
+    # u8 INTER_LINEAR 5-bit fixed-point interpolation vs our exact float
+    # formulation: <=1 LSB on a handful of pixels (5 on this fixture).
+    assert d.max() <= 1, d.max()
+    assert (d > 0).mean() < 1e-4
 
 
 def test_temporal_consistency_stream(bayer_frame):

@@ -155,14 +155,38 @@ def test_hsv2bgr_exhaustive_bit_exact():
         np.testing.assert_array_equal(got, ref)
 
 
-def test_hsv2bgr_scalar_path_envelope():
-    # single-column images take cv2's *scalar* kernel, which itself
-    # disagrees with its SIMD kernel at 1 LSB; assert the envelope only
-    col = rand_img((5000, 1, 3), 61)
-    ref_col = cv2.cvtColor(col, cv2.COLOR_HSV2BGR)
-    out_col = np.asarray(cs.hsv_to_bgr_u8(col))
-    dcol = np.abs(out_col.astype(int) - ref_col.astype(int))
-    assert dcol.max() <= 1
+def test_hsv2bgr_scalar_kernel_exact():
+    """cv2's SCALAR row kernel (used for the last width%32 pixels of every
+    row, or whole sub-32-px rows) is replicated bit-exactly: same fma tab
+    entries as the SIMD kernel, final *255 ROUNDED instead of truncated
+    (verified over ALL 2^24 inputs offline; sampled here). Width-16 Mats
+    isolate the scalar kernel on the cv2 side."""
+    img = rand_img((1 << 18, 16, 3), 61)
+    ref = cv2.cvtColor(img, cv2.COLOR_HSV2BGR)
+    h, s, v = img[..., 0], img[..., 1], img[..., 2]
+    out = np.stack(
+        [np.asarray(p) for p in cs.hsv_to_bgr_planes_scalar(h, s, v)], -1
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_enhancer_mixed_kernels_exact_at_reference_size():
+    """The enhancer mixes cv2's SIMD and scalar row kernels by column
+    (ops/color_enhancer), making it bit-exact at ANY width — including the
+    reference's native 720x540 (16-px scalar tail per row,
+    alphasense_calib_example.yaml:3-4) and sub-32-px frames, which
+    previously sat in a <=1 LSB envelope."""
+    from raw_image_pipeline_tpu.ops.color_enhancer import enhance
+
+    gains = (1.0, 1.2, 1.0)
+    for shape, seed in (((540, 720, 3), 62), ((64, 33, 3), 63),
+                        ((40, 31, 3), 64), ((5000, 1, 3), 65)):
+        img = rand_img(shape, seed)
+        hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+        hsv = cv2.multiply(hsv, gains + (0,))
+        ref = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+        out = np.asarray(enhance(img, np.array(gains, np.float32)))
+        np.testing.assert_array_equal(out, ref, err_msg=str(shape))
 
 
 def test_bgr2gray_f32_exact():
