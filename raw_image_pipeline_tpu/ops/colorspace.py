@@ -324,14 +324,22 @@ _LAB_GAMMA = CorrectedTable(_lab_gamma_formula, _GAMMA_TAB)
 _LAB_CBRT = CorrectedTable(_cbrt_formula, _CBRT_TAB)
 
 
-def bgr_to_lab_planes(b: jax.Array, g: jax.Array, r: jax.Array):
+def bgr_to_lab_planes(b: jax.Array, g: jax.Array, r: jax.Array,
+                      gamma_fn=None):
     """Planar core of bgr_to_lab_u8 (same arithmetic; see
-    bgr_to_hsv_planes for the planar rationale)."""
-    C = [int(c) for c in _LAB_COEF]
+    bgr_to_hsv_planes for the planar rationale).
 
-    b = _LAB_GAMMA(b.astype(jnp.int32))
-    g = _LAB_GAMMA(g.astype(jnp.int32))
-    r = _LAB_GAMMA(r.astype(jnp.int32))
+    gamma_fn: optional replacement for the 256-entry sRGB-linearize table
+    (u8 int32 in -> int32 table values). The pipeline composes the ISP
+    gamma stage's u8->u8 map into this table when gamma feeds straight
+    into vignetting (ops/vignetting.composed_gamma_lab_fn) — one fused
+    table lookup instead of two stages."""
+    C = [int(c) for c in _LAB_COEF]
+    gf = gamma_fn if gamma_fn is not None else _LAB_GAMMA
+
+    b = gf(b.astype(jnp.int32))
+    g = gf(g.astype(jnp.int32))
+    r = gf(r.astype(jnp.int32))
 
     def cbrt_tab(v):
         return _LAB_CBRT(jnp.clip(v, 0, _CBRT_TAB_SIZE - 1))

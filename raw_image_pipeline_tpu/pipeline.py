@@ -61,6 +61,7 @@ from raw_image_pipeline_tpu.ops.debayer import (
 from raw_image_pipeline_tpu.ops.flip import flip as flip_op
 from raw_image_pipeline_tpu.ops.flip import flipped_bayer_encoding
 from raw_image_pipeline_tpu.ops.gamma import (
+    GAMMA_MAX_CORR,
     GAMMA_POLY_LEN,
     bt709_corrections,
     gamma_apply,
@@ -77,7 +78,11 @@ from raw_image_pipeline_tpu.ops.undistortion import (
     remap_bilinear_u8_planes,
     remap_precompute,
 )
-from raw_image_pipeline_tpu.ops.vignetting import build_vignetting_mask
+from raw_image_pipeline_tpu.ops.vignetting import (
+    build_vignetting_mask,
+    composed_gamma_corrections,
+    composed_gamma_lab_fn,
+)
 from raw_image_pipeline_tpu.ops.vignetting import correct as vignetting_correct
 from raw_image_pipeline_tpu.ops.vignetting import (
     correct_planes as vignetting_correct_planes,
@@ -106,6 +111,11 @@ class IspParams:
     gamma_poly: jax.Array  # [GAMMA_POLY_LEN] f32 Horner coeffs (or zeros)
     gamma_corr_idx: jax.Array  # [GAMMA_MAX_CORR] i32 formula patch indices
     gamma_corr_val: jax.Array  # [GAMMA_MAX_CORR] u8 patch values
+    # composed gamma∘(Lab sRGB-linearize) table corrections for the fused
+    # gamma→vignetting fast path (ops/vignetting.composed_gamma_lab_fn);
+    # idx all -1 when the composition is inactive
+    vig_gamma_corr_idx: jax.Array  # [GAMMA_MAX_CORR] i32
+    vig_gamma_corr_val: jax.Array  # [GAMMA_MAX_CORR] i32
     enhancer_gains: jax.Array  # [3] f32 (H,S,V)
     vignetting_mask: jax.Array  # [H,W] f32 (post-flip dims) or scalar 0 if unused
     # undistortion remap, precomputed from the fisheye maps at init
@@ -196,6 +206,31 @@ def _post_flip_shape(h: int, w: int, angle: int) -> Tuple[int, int]:
     return (w, h) if angle in (90, 270) else (h, w)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _composed_fit_cached(k: float, backend: str):
+    fit = gamma_poly_coeffs(k)
+    if fit is None:
+        return None
+    coeffs, root = fit
+    try:
+        return composed_gamma_corrections(k, coeffs, root, GAMMA_MAX_CORR)
+    except ValueError:  # composed formula needs more corrections than the
+        return None     # runtime-parameter pad — fall back to two stages
+
+
+def _composed_gamma_fit(k: float):
+    """Corrections pinning the composed gamma∘Lab-linearize table on the
+    current backend, or None when the poly path / correction budget does
+    not hold. Memoized so make_params and make_isp_fn (which must agree
+    on whether the composition engages) see the same answer."""
+    import jax as _jax
+
+    return _composed_fit_cached(k, _jax.default_backend())
+
+
 def make_params(
     config: PipelineConfig,
     frame_hw: Tuple[int, int],
@@ -267,6 +302,20 @@ def make_params(
         else:
             gamma_idx, gamma_val = gamma_corrections(gc.k)
 
+    # composed gamma∘vignetting table corrections (fast path only; the
+    # traced fn decides usage — make_isp_fn consults the same memoized fit)
+    comp_idx = np.full(GAMMA_MAX_CORR, -1, np.int32)
+    comp_val = np.zeros(GAMMA_MAX_CORR, np.int32)
+    if (
+        gc.enabled and config.vignetting_correction.enabled
+        and not (gc.gpu and gc.method == "default")
+    ):
+        comp = _composed_gamma_fit(gc.k)
+        if comp is not None:
+            comp_idx, comp_val = (
+                np.asarray(comp[0], np.int32), np.asarray(comp[1], np.int32)
+            )
+
     ce = config.color_enhancer
     return IspParams(
         color_matrix=jnp.asarray(config.color_calibration.matrix_np(), jnp.float32).reshape(3, 3),
@@ -275,6 +324,8 @@ def make_params(
         gamma_poly=jnp.asarray(gamma_poly),
         gamma_corr_idx=jnp.asarray(gamma_idx),
         gamma_corr_val=jnp.asarray(gamma_val),
+        vig_gamma_corr_idx=jnp.asarray(comp_idx),
+        vig_gamma_corr_val=jnp.asarray(comp_val),
         enhancer_gains=jnp.asarray(
             [ce.hue_gain, ce.saturation_gain, ce.value_gain], jnp.float32
         ),
@@ -360,6 +411,18 @@ def make_isp_fn(
         else None
     )
     impls = _impls_for_sharding(mesh_devices)
+    # fold the gamma stage's u8 map into the vignetting forward's Lab
+    # linearize table on the fast path (one composed table lookup, one
+    # correction chain — ops/vignetting composition block). Static
+    # decision; make_params builds the matching corrections from the same
+    # memoized fit. Debug mode keeps the reference's two-stage order for
+    # its dump points.
+    compose_gv = (
+        gamma_poly_fit is not None
+        and config.vignetting_correction.enabled
+        and not debug
+        and _composed_gamma_fit(gcfg.k) is not None
+    )
 
     def fn(params: IspParams, pixels: jax.Array, state: Optional[IspState]):
         outputs: Dict[str, jax.Array] = {}
@@ -610,10 +673,11 @@ def make_isp_fn(
                     img = color_correct(img, params.color_matrix, params.color_bias)
         dump("03_color_calibration", img)
 
-        # 5. gamma
+        # 5. gamma (folded into the vignetting forward table when
+        # compose_gv and the planar fast path are both active)
         with jax.named_scope("isp_gamma"):
             gc = config.gamma_correction
-            if gc.enabled:
+            if gc.enabled and not (compose_gv and planar and is_color):
                 if gc.gpu and gc.method == "default":
                     apply_g = lambda x: gamma_apply_bt709(
                         x, gc.k <= 1.0,
@@ -636,14 +700,25 @@ def make_isp_fn(
                     img = apply_g(img)
         dump("04_gamma_correction", img)
 
-        # 6. vignetting (Lab roundtrip — 3-channel only)
+        # 6. vignetting (Lab roundtrip — 3-channel only; consumes the
+        # composed gamma∘linearize table when the gamma stage was folded)
         with jax.named_scope("isp_vignetting"):
             if config.vignetting_correction.enabled and is_color:
                 mask = params.vignetting_mask
                 if batch_minor:
                     mask = mask[:, :, None]  # broadcast [H,W,1] over [H,W,B]
                 if planar:
-                    planes = vignetting_correct_planes(*planes, mask)
+                    gamma_fn = None
+                    if compose_gv:
+                        gamma_fn = composed_gamma_lab_fn(
+                            params.gamma_poly,
+                            params.vig_gamma_corr_idx,
+                            params.vig_gamma_corr_val,
+                            root=gamma_poly_fit[1],
+                        )
+                    planes = vignetting_correct_planes(
+                        *planes, mask, gamma_fn=gamma_fn
+                    )
                 else:
                     img = vignetting_correct(img, mask)
         dump("05_vignetting_correction", img)

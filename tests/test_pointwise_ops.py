@@ -389,3 +389,70 @@ def test_gamma_gpu_default_bt709():
     np.testing.assert_array_equal(
         np.asarray(out["processed"])[0], build_gamma_lut(0.9)[img]
     )
+
+
+# ------------------------------------------------- gamma∘vignetting composition
+
+def test_composed_gamma_lab_table_exact():
+    """The fused gamma→vignetting fast path serves the COMPOSED 256-entry
+    table ctab[i] = LAB_GAMMA_TAB[gamma_lut_k[i]] (ops/vignetting
+    composition block); provably exact by full-domain enumeration against
+    the two-stage path for every k class (the +45 us/frame steady lever,
+    round 5)."""
+    import jax.numpy as jnp
+
+    from raw_image_pipeline_tpu.ops import vignetting as V
+    from raw_image_pipeline_tpu.ops.colorspace import _LAB_GAMMA
+    from raw_image_pipeline_tpu.ops.gamma import (
+        gamma_apply_poly,
+        gamma_corrections_poly,
+        gamma_poly_coeffs,
+    )
+
+    xs = jnp.arange(256, dtype=jnp.int32)
+    for k in (0.9, 0.5, 1.0, 1.8, 2.2):
+        fit = gamma_poly_coeffs(k)
+        assert fit is not None, k
+        coeffs, root = fit
+        idx, val = V.composed_gamma_corrections(k, coeffs, root, 16)
+        fn = V.composed_gamma_lab_fn(
+            jnp.asarray(coeffs), jnp.asarray(idx), jnp.asarray(val), root
+        )
+        got = np.asarray(fn(xs))
+        # two-stage reference: exact gamma LUT application then the exact
+        # Lab linearize table
+        gi, gv = gamma_corrections_poly(k, coeffs, root)
+        g = np.asarray(gamma_apply_poly(
+            xs, jnp.asarray(coeffs), jnp.asarray(gi), jnp.asarray(gv),
+            root=root,
+        ))
+        want = np.asarray(_LAB_GAMMA(jnp.asarray(g.astype(np.int32))))
+        np.testing.assert_array_equal(got, want, err_msg=f"k={k}")
+        np.testing.assert_array_equal(
+            got, V.composed_gamma_lab_table(k), err_msg=f"k={k}"
+        )
+
+
+def test_composed_pipeline_matches_two_stage():
+    """Full chain with gamma+vignetting: the composed fast path must stay
+    bitwise equal to the debug build (reference two-stage order)."""
+    import dataclasses
+
+    import __graft_entry__ as ge
+    from raw_image_pipeline_tpu.pipeline import build_pipeline
+
+    h, w = 64, 48
+    cfg = ge._full_config((h, w), for_undistortion=False)
+    rng = np.random.default_rng(11)
+    bay = rng.integers(0, 256, (2, h, w), np.uint8)
+    for k in (0.9, 2.2):
+        c = cfg.replace(gamma_correction=dataclasses.replace(
+            cfg.gamma_correction, k=k))
+        fast = build_pipeline(c, "bayer_gbrg8", frame_hw=(h, w))
+        dbg = build_pipeline(c, "bayer_gbrg8", frame_hw=(h, w), debug=True)
+        o1, _ = fast(bay)
+        o2, _ = dbg(bay)
+        np.testing.assert_array_equal(
+            np.asarray(o1["processed"]), np.asarray(o2["processed"]),
+            err_msg=f"k={k}",
+        )
