@@ -317,6 +317,15 @@ class RawImagePipeline:
     def set_undistortion_fov_scale(self, fov_scale: float) -> None:
         self._set_module("undistortion", fov_scale=fov_scale)
 
+    def set_undistortion_interpolation(self, mode: str) -> None:
+        """Pick which OpenCV-build remap arithmetic to replicate (TPU
+        extension; the reference's output is build-dependent here):
+        "lerp" (x86/IPP, default) | "fixed32" (ARM/Jetson — the
+        reference's deployment) | "float" (quantization-free)."""
+        if mode not in ("lerp", "fixed32", "float"):
+            raise ValueError(f"unknown remap interpolation [{mode}]")
+        self._set_module("undistortion", interpolation=mode)
+
     def set_undistortion_camera_matrix(self, camera_matrix) -> None:
         self._invalidate(
             calibration=replace(

@@ -152,6 +152,14 @@ class UndistortionConfig:
     # dist_image_size_ in the reference (undistortion.cpp:216-238).
     # None = calibration size.
     new_image_size: Optional[Tuple[int, int]] = None  # (width, height)
+    # cv::remap's u8 arithmetic is build-dependent; both forms are
+    # replicated bit-for-bit (ops/undistortion.remap_precompute):
+    #   "lerp"    — x86/IPP fma-lerp path (this repo's cv2 oracle; default)
+    #   "fixed32" — non-IPP INTER_BITS=5 integer path (ARM/Jetson builds,
+    #               the reference's deployment hardware; ~free on TPU vs
+    #               lerp's ~40 us/frame of emulated-fma work at 1080p)
+    #   "float"   — quantization-free float formulation (within 1 LSB)
+    interpolation: str = "lerp"
 
 
 @dataclass(frozen=True)

@@ -8,10 +8,14 @@ to the last double) of:
   * cv::fisheye::initUndistortRectifyMap
     (reference: modules/undistortion.cpp:216-238).
 
-Device remap — bilinear gather with BORDER_CONSTANT=0 and round-half-even,
-matching cv2 5.0's float-map INTER_LINEAR path exactly (older OpenCV used a
-5-bit fixed-point variant; both stay within 1 LSB of each other). The
-reference applies this per frame (undistortion.cpp:240-245).
+Device remap — bilinear gather with BORDER_CONSTANT=0, replicating
+cv::remap's u8 arithmetic bit-for-bit in BOTH of its build-dependent
+forms (round 5; see remap_precompute): "lerp" (default — the x86/IPP
+fma-lerp path of this repo's cv2 5.0 oracle) and "fixed32" (the non-IPP
+INTER_BITS=5 integer path of ARM/Jetson builds — the reference's actual
+deployment hardware). A quantization-free "float" mode remains
+selectable. The reference applies the remap per frame
+(undistortion.cpp:240-245).
 
 The maps are computed once per calibration and closed over as constants;
 the per-frame device work is 2 chunked row-gathers + the bilinear blend.
@@ -148,11 +152,71 @@ def init_undistort_rectify_map(
 # ---------------------------------------------------------------------------
 
 
+_INTER_BITS = 5
+_INTER_TAB_SIZE = 1 << _INTER_BITS  # 32
+_REMAP_COEF_BITS = 15
+_REMAP_COEF_SCALE = 1 << _REMAP_COEF_BITS  # 32768
+
+
+def _bilinear_fixed_wtab() -> np.ndarray:
+    """cv::remap's 32x32 fixed-point bilinear weight table (initInterTab2D
+    semantics, reverse-engineered and verified entry-for-entry against a
+    live cv2 5.0 via u16 probe remaps): per fractional cell (ay, ax) the
+    four f32 tap products are rounded to 2^15 scale and the rounding
+    residual is subtracted from the LARGEST entry so every row sums to
+    exactly 2^15. Returns [32, 32, 4] int32 (tap order 00,01,10,11)."""
+    f32 = np.float32
+    t = np.zeros((_INTER_TAB_SIZE, _INTER_TAB_SIZE, 4), np.int32)
+    for ay in range(_INTER_TAB_SIZE):
+        for ax in range(_INTER_TAB_SIZE):
+            fy = f32(ay) / f32(_INTER_TAB_SIZE)
+            fx = f32(ax) / f32(_INTER_TAB_SIZE)
+            vals = np.array(
+                [(1 - fy) * (1 - fx), (1 - fy) * fx, fy * (1 - fx), fy * fx],
+                f32,
+            )
+            it = np.rint(vals.astype(np.float64) * _REMAP_COEF_SCALE).astype(np.int64)
+            diff = it.sum() - _REMAP_COEF_SCALE
+            if diff:
+                it[np.argmax(it)] -= diff
+            t[ay, ax] = it
+    return t
+
+
 def remap_precompute(
-    map_x: np.ndarray, map_y: np.ndarray, src_hw: Tuple[int, int]
+    map_x: np.ndarray, map_y: np.ndarray, src_hw: Tuple[int, int],
+    mode: str = "lerp",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side (init-time) factorization of the remap into one gather
     index plus four masked bilinear weights per output pixel.
+
+    OpenCV's remap has two build-dependent u8 arithmetics, and BOTH are
+    replicated bit-for-bit (the reference's output depends on which
+    OpenCV it links):
+
+    mode="lerp" (default — matches THIS repo's cv2 5.0 x86/IPP oracle,
+    verified 0 mismatches over millions of fisheye-map pixels): per pixel
+    two x-lerps and one y-lerp, each a SINGLE-ROUNDING fused multiply-add
+    in f32 — t = fma(fx, v01-v00, v00), b = fma(fx, v11-v10, v10),
+    out = rint(fma(fy, b-t, t)) — with out-of-image taps reading 0
+    (BORDER_CONSTANT). Device fmas are Dekker-emulated (ops/common.fma_f32).
+    Returns weights [6, N] = (fx, fy, mask00, mask01, mask10, mask11) and
+    base rows with the pack's zero margin already applied (taps sit at
+    their NATURAL slots; masks kill row-wraparound garbage at borders).
+
+    mode="fixed32" (OpenCV's non-IPP path — ARM/Jetson builds, and any
+    build fed pre-converted CV_16SC2 maps; verified 0 mismatches against
+    cv2.convertMaps + remap): coordinates snapped to 1/32 px
+    (sx = rint(f32(map)*32), anchor sx>>5, frac sx&31), weights from the
+    2^15-scaled integer table (_bilinear_fixed_wtab), blended as exact
+    integers with the final (sum + 2^14) >> 15. Every intermediate is an
+    exact integer in f32 (products <= 255*2^15, 4-sums + 2^14 < 2^25), so
+    this blend is immune to fma contraction by construction.
+
+    mode="float" is the rounds-1-4 formulation: true f32 fractional
+    per-slot weights, sealed two-rounding product blend, round-half-even —
+    a quantization-free variant kept selectable for comparison (differs
+    from the IPP lerp at ~4 per million pixels).
 
     The fetch window for output pixel o is the 2x2 block anchored at
     base = (clip(iy,0,H-2), clip(ix,0,W-2)); the weights are assigned to
@@ -165,7 +229,8 @@ def remap_precompute(
     copy per call.
 
     Returns (base [N] int32 flat row-major indices into H*W,
-             weights [4, N] float32 for fetched offsets {0, +1, +W, +W+1}).
+             weights [4, N] float32 for fetched offsets {0, +1, +W, +W+1};
+             integer-valued 2^15-scale in fixed32 mode).
     """
     h, w = src_hw
     f32 = np.float32
@@ -176,29 +241,83 @@ def remap_precompute(
         # blend weights and flip seal_f32's runtime zero at run time,
         # silently perturbing every sealed product in the frame
         raise ValueError("undistortion maps contain non-finite values")
-    ix = np.floor(mx).astype(np.int64)
-    iy = np.floor(my).astype(np.int64)
-    fx = mx.astype(f32) - ix.astype(f32)
-    fy = my.astype(f32) - iy.astype(f32)
+    if mode == "lerp":
+        m = w + 1  # pack margin (see _remap_rows lerp pack)
+        X = mx.astype(f32)
+        Y = my.astype(f32)
+        ix = np.floor(X).astype(np.int64)
+        iy = np.floor(Y).astype(np.int64)
+        fx = (X - ix.astype(f32)).astype(f32)
+        fy = (Y - iy.astype(f32)).astype(f32)
+        masks = [
+            (((iy + dy >= 0) & (iy + dy <= h - 1)
+              & (ix + dx >= 0) & (ix + dx <= w - 1)).astype(f32))
+            for dy in (0, 1) for dx in (0, 1)
+        ]
+        weights = np.stack(
+            [fx, fy] + masks
+        ).reshape(6, -1).astype(f32)
+        flat = iy * w + ix
+        # any-tap-in-range pixels satisfy flat in [-m, h*w - 1] by
+        # construction; fully-out pixels all point at the pack's zero
+        # margin row 0 (one cached row — same trick as the other modes)
+        any_in = (np.stack(masks).sum(axis=0) > 0).reshape(-1)
+        flat = np.clip(flat.reshape(-1), -m, h * w - 1)
+        base = np.where(any_in, flat + m, 0).astype(np.int32)
+        return base, weights
+    if mode == "fixed32":
+        sx = np.rint((mx.astype(f32) * f32(_INTER_TAB_SIZE)).astype(f32)).astype(np.int64)
+        sy = np.rint((my.astype(f32) * f32(_INTER_TAB_SIZE)).astype(f32)).astype(np.int64)
+        ix = sx >> _INTER_BITS
+        iy = sy >> _INTER_BITS
+        w4 = _bilinear_fixed_wtab()[
+            sy & (_INTER_TAB_SIZE - 1), sx & (_INTER_TAB_SIZE - 1)
+        ]  # [..., 4] int32 tap weights (00,01,10,11)
 
-    bx = np.clip(ix, 0, w - 2)
-    by = np.clip(iy, 0, h - 2)
+        bx = np.clip(ix, 0, w - 2)
+        by = np.clip(iy, 0, h - 2)
+        # assign each IN-RANGE true tap's integer weight to its fetched
+        # slot (clipping only moves the anchor when a tap is out of range,
+        # so in-range taps always land on slot 0/1 per axis)
+        slots = np.zeros((4,) + ix.shape, np.int64)
+        for ty in (0, 1):
+            for tx in (0, 1):
+                wt = w4[..., ty * 2 + tx]
+                inb = ((iy + ty >= 0) & (iy + ty <= h - 1)
+                       & (ix + tx >= 0) & (ix + tx <= w - 1))
+                dy = iy + ty - by
+                dx = ix + tx - bx
+                for sdy in (0, 1):
+                    for sdx in (0, 1):
+                        hit = inb & (dy == sdy) & (dx == sdx)
+                        slots[sdy * 2 + sdx] += np.where(hit, wt, 0)
+        weights = slots.reshape(4, -1).astype(f32)
+    elif mode == "float":
+        ix = np.floor(mx).astype(np.int64)
+        iy = np.floor(my).astype(np.int64)
+        fx = mx.astype(f32) - ix.astype(f32)
+        fy = my.astype(f32) - iy.astype(f32)
 
-    def axis_weights(i, f, b, n):
-        # weight carried by fetched positions b and b+1 along one axis
-        in0 = (i >= 0) & (i <= n - 1)
-        in1 = (i + 1 >= 0) & (i + 1 <= n - 1)
-        w_lo = (1 - f) * in0  # tap at i
-        w_hi = f * in1  # tap at i+1
-        pos0 = w_lo * (i == b) + w_hi * (i + 1 == b)
-        pos1 = w_lo * (i == b + 1) + w_hi * (i + 1 == b + 1)
-        return pos0.astype(f32), pos1.astype(f32)
+        bx = np.clip(ix, 0, w - 2)
+        by = np.clip(iy, 0, h - 2)
 
-    wx0, wx1 = axis_weights(ix, fx, bx, w)
-    wy0, wy1 = axis_weights(iy, fy, by, h)
-    weights = np.stack(
-        [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1]
-    ).reshape(4, -1).astype(f32)
+        def axis_weights(i, f, b, n):
+            # weight carried by fetched positions b and b+1 along one axis
+            in0 = (i >= 0) & (i <= n - 1)
+            in1 = (i + 1 >= 0) & (i + 1 <= n - 1)
+            w_lo = (1 - f) * in0  # tap at i
+            w_hi = f * in1  # tap at i+1
+            pos0 = w_lo * (i == b) + w_hi * (i + 1 == b)
+            pos1 = w_lo * (i == b + 1) + w_hi * (i + 1 == b + 1)
+            return pos0.astype(f32), pos1.astype(f32)
+
+        wx0, wx1 = axis_weights(ix, fx, bx, w)
+        wy0, wy1 = axis_weights(iy, fy, by, h)
+        weights = np.stack(
+            [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1]
+        ).reshape(4, -1).astype(f32)
+    else:
+        raise ValueError(f"unknown remap mode [{mode}]")
     base = (by * w + bx).reshape(-1).astype(np.int32)
     # fully out-of-image output pixels (all four weights zero — ~10% of a
     # fisheye undistortion's corners) still spend gather indices; pointing
@@ -241,7 +360,8 @@ def set_remap_blend_impl(impl: str) -> None:
 def _remap_rows(arrs, base: jax.Array, weights: jax.Array,
                 h: int, w: int,
                 tuning: Tuple[int, int] = DEFAULT_REMAP_TUNING,
-                blend_impl: str | None = None) -> jax.Array:
+                blend_impl: str | None = None,
+                mode: str = "lerp") -> jax.Array:
     """Shared gather/blend core.
 
     arrs: list of per-camera [H*W, K] u8 sources (any K-column ordering;
@@ -267,6 +387,22 @@ def _remap_rows(arrs, base: jax.Array, weights: jax.Array,
     # slots of the last pixels land in the zero pad rows and out-of-image
     # taps carry zero weight by construction.
     def make_pack(arr):
+        if mode == "lerp":
+            # margin-padded pack: base indices from remap_precompute carry
+            # a +`m` offset so every tap reads its NATURAL flat position
+            # (border row-wraparound garbage is zeroed by the per-tap
+            # masks); leading margin row 0 is the all-out-of-image row
+            m = w + 1
+            r = h * w + 2 * m
+            if slots == 2:
+                arrp = jnp.pad(arr, ((m, m + 1), (0, 0)))
+                return jnp.concatenate([arrp[:r], arrp[1:r + 1]], axis=1)
+            arrp = jnp.pad(arr, ((m, m + w + 1), (0, 0)))
+            return jnp.concatenate(
+                [arrp[:r], arrp[1:r + 1], arrp[w:r + w],
+                 arrp[w + 1:r + w + 1]],
+                axis=1,
+            )
         if slots == 2:
             arrp = jnp.pad(arr, ((0, 1), (0, 0)))
             p = jnp.concatenate([arrp[: h * w], arrp[1 : h * w + 1]], axis=1)
@@ -293,7 +429,8 @@ def _remap_rows(arrs, base: jax.Array, weights: jax.Array,
         # pack; weights flatten camera-major to match the output rows
         offs = (jnp.arange(len(arrs), dtype=base.dtype) * block)[:, None]
         base = (base + offs).reshape(-1)
-        weights = jnp.moveaxis(weights, 1, 0).reshape(4, -1)
+        nw = weights.shape[1]  # 4 weight rows (float/fixed32) or 6 (lerp)
+        weights = jnp.moveaxis(weights, 1, 0).reshape(nw, -1)
     # materialize the pack exactly once: without the barrier XLA re-fuses
     # the pack construction into each chunk's gather operand and rebuilds
     # it per chunk (measured as the in-chain gather running at 16 ns/idx
@@ -314,8 +451,9 @@ def _remap_rows(arrs, base: jax.Array, weights: jax.Array,
     rt_zero = (weights[0, 0] != weights[0, 0]).astype(jnp.int32)
     blend_impl = blend_impl or _BLEND_IMPL
     # "auto" == "xla": the fused gather+blend measures faster than the
-    # Pallas kernel (see module selector comment above)
-    use_pallas_blend = slots == 2 and blend_impl == "pallas"
+    # Pallas kernel (see module selector comment above). The kernel only
+    # implements the float epilogue; fixed32 always blends in XLA.
+    use_pallas_blend = slots == 2 and blend_impl == "pallas" and mode == "float"
     if use_pallas_blend:
         # per-row weight quadruples for the kernel's [rb, 4] blocks; one
         # transpose of 16 B/row, materialized once (~0.7 us/frame at B=128)
@@ -348,10 +486,44 @@ def _remap_rows(arrs, base: jax.Array, weights: jax.Array,
         else:
             rows = jnp.take(packed, bs, axis=0)  # [Nc, 4K] u8
             taps = tuple(rows[:, i * k:(i + 1) * k] for i in range(4))
-        # each product sealed against fma contraction so the plain
-        # left-associative two-rounding chain holds identically in every
-        # program variant (the GSPMD-partitioned blend measurably diverged
-        # from the unpartitioned one on CPU without this; see seal_f32)
+        if mode == "lerp":
+            # cv2 5.0 x86/IPP arithmetic: two x-lerps + one y-lerp, each a
+            # single-rounding fma (Dekker-emulated); masks zero the
+            # out-of-image taps (and any border wraparound garbage)
+            from raw_image_pipeline_tpu.ops.common import fma_f32
+
+            fx = weights[0][sl, None]
+            fy = weights[1][sl, None]
+            v00 = taps[0].astype(f32) * weights[2][sl, None]
+            v01 = taps[1].astype(f32) * weights[3][sl, None]
+            v10 = taps[2].astype(f32) * weights[4][sl, None]
+            v11 = taps[3].astype(f32) * weights[5][sl, None]
+            t = fma_f32(fx, v01 - v00, v00)
+            b = fma_f32(fx, v11 - v10, v10)
+            outs.append(round_u8(fma_f32(fy, b - t, t)))
+            continue
+        if mode == "fixed32":
+            # cv::remap's integer blend: 2^15-scaled integer weights, all
+            # intermediates exact integers in f32 (products <= 255*2^15,
+            # sum + 2^14 < 2^25), final truncating shift — exact under ANY
+            # fma contraction/reassociation, so no sealing is needed
+            acc = (
+                taps[0].astype(f32) * weights[0][sl, None]
+                + taps[1].astype(f32) * weights[1][sl, None]
+                + taps[2].astype(f32) * weights[2][sl, None]
+                + taps[3].astype(f32) * weights[3][sl, None]
+            )
+            v = jnp.floor(
+                (acc + f32(1 << (_REMAP_COEF_BITS - 1)))
+                * f32(1.0 / _REMAP_COEF_SCALE)
+            )
+            outs.append(jnp.clip(v, 0, 255).astype(jnp.uint8))
+            continue
+        # float mode: each product sealed against fma contraction so the
+        # plain left-associative two-rounding chain holds identically in
+        # every program variant (the GSPMD-partitioned blend measurably
+        # diverged from the unpartitioned one on CPU without this; see
+        # seal_f32)
         acc = (
             seal_f32(taps[0].astype(f32) * weights[0][sl, None], rt_zero)
             + seal_f32(taps[1].astype(f32) * weights[1][sl, None], rt_zero)
@@ -363,7 +535,8 @@ def _remap_rows(arrs, base: jax.Array, weights: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("out_hw", "src_hw", "batch_minor",
-                                   "tuning", "n_cameras", "blend_impl"))
+                                   "tuning", "n_cameras", "blend_impl",
+                                   "mode"))
 def remap_bilinear_u8(
     image: jax.Array, base: jax.Array, weights: jax.Array,
     out_hw: Tuple[int, int],
@@ -372,6 +545,7 @@ def remap_bilinear_u8(
     tuning: Tuple[int, int] = DEFAULT_REMAP_TUNING,
     n_cameras: int = 1,
     blend_impl: str | None = None,
+    mode: str = "lerp",
 ) -> jax.Array:
     """cv::remap(INTER_LINEAR, BORDER_CONSTANT, 0) with precomputed
     (base, weights) from remap_precompute.
@@ -413,7 +587,7 @@ def remap_bilinear_u8(
                 image[:, :, cam * bc:(cam + 1) * bc, :].reshape(h * w, bc * c)
                 for cam in range(n_cameras)
             ]
-            out_u8 = _remap_rows(arrs, base, weights, h, w, tuning, blend_impl)
+            out_u8 = _remap_rows(arrs, base, weights, h, w, tuning, blend_impl, mode)
             return out_u8.reshape((n_cameras, ho, wo, bc, c))
         bc = image.shape[0] // n_cameras
         arrs = [
@@ -422,7 +596,7 @@ def remap_bilinear_u8(
             ).reshape(h * w, bc * c)
             for cam in range(n_cameras)
         ]
-        out_u8 = _remap_rows(arrs, base, weights, h, w, tuning, blend_impl)
+        out_u8 = _remap_rows(arrs, base, weights, h, w, tuning, blend_impl, mode)
         out = jnp.moveaxis(out_u8.reshape(n_cameras, ho * wo, bc, c), 2, 1)
         return out.reshape(n_cameras * bc, ho, wo, c)
 
@@ -433,7 +607,7 @@ def remap_bilinear_u8(
         lead = image.shape[:-3]
         arr = image.reshape((-1, h * w, c))
         arr = jnp.moveaxis(arr, 0, 1).reshape(h * w, -1)
-    out_u8 = _remap_rows([arr], base, weights, h, w, tuning, blend_impl)
+    out_u8 = _remap_rows([arr], base, weights, h, w, tuning, blend_impl, mode)
 
     if batch_minor:
         return out_u8.reshape((ho, wo) + lead + (c,))
@@ -443,7 +617,7 @@ def remap_bilinear_u8(
 
 
 @partial(jax.jit, static_argnames=("out_hw", "src_hw", "tuning", "n_cameras",
-                                   "blend_impl"))
+                                   "blend_impl", "mode"))
 def remap_bilinear_u8_planes(
     planes, base: jax.Array, weights: jax.Array,
     out_hw: Tuple[int, int],
@@ -451,6 +625,7 @@ def remap_bilinear_u8_planes(
     tuning: Tuple[int, int] = DEFAULT_REMAP_TUNING,
     n_cameras: int = 1,
     blend_impl: str | None = None,
+    mode: str = "lerp",
 ):
     """Planar batch-minor remap: tuple of [H, W, B] u8 planes ->
     [Ho, Wo, C, B] u8 (channel-blocked — planes stay contiguous; the
@@ -481,7 +656,7 @@ def remap_bilinear_u8_planes(
     planes = jax.lax.optimization_barrier(tuple(planes))
     if n_cameras == 1:
         arr = jnp.concatenate([p.reshape(h * w, -1) for p in planes], axis=1)
-        out_u8 = _remap_rows([arr], base, weights, h, w, tuning, blend_impl)
+        out_u8 = _remap_rows([arr], base, weights, h, w, tuning, blend_impl, mode)
         lead = planes[0].shape[2:]
         return out_u8.reshape((ho, wo, c) + lead)
     # camera-major B axis: camera cam's columns are the cam-th B' block of
@@ -495,7 +670,7 @@ def remap_bilinear_u8_planes(
         )
         for cam in range(n_cameras)
     ]
-    out_u8 = _remap_rows(arrs, base, weights, h, w, tuning, blend_impl)  # [C*N, c*bc]
+    out_u8 = _remap_rows(arrs, base, weights, h, w, tuning, blend_impl, mode)  # [C*N, c*bc]
     return out_u8.reshape((n_cameras, ho, wo, c, bc))
 
 

@@ -274,7 +274,9 @@ def make_params(
         # the remap source is the POST-FLIP frame: flip 90/270 swaps its
         # dims, and the calibration-sized maps then index it with
         # clamp+mask semantics exactly like cv::remap would
-        base, weights = remap_precompute(mx, my, (fh, fw))
+        base, weights = remap_precompute(
+            mx, my, (fh, fw), mode=config.undistortion.interpolation
+        )
         remap_base, remap_weights = jnp.asarray(base), jnp.asarray(weights)
     else:
         remap_base = remap_weights = zero
@@ -758,6 +760,7 @@ def make_isp_fn(
                 out_hw = (calib.image_height, calib.image_width)
                 rt = {} if remap_tuning is None else {"tuning": remap_tuning}
                 rt["blend_impl"] = impls["remap_blend"]
+                rt["mode"] = config.undistortion.interpolation
                 # per-camera maps (camera-blocked build): stacked base
                 # [n_cameras, N] routes each camera block through its own
                 # map in one flat gather; a flat base (shared calibration)

@@ -136,14 +136,11 @@ def test_api_full_chain_vs_cv2_golden(bayer_frame):
     golden = cv2.remap(img, mx, my, cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT,
                        borderValue=0)
 
-    d = np.abs(out.astype(int) - golden.astype(int))
-    # Every stage through the enhancer is now bit-exact at 720x540 (the
-    # enhancer mixes cv2's SIMD and scalar HSV2BGR row kernels by column —
-    # round-5 fix, ops/color_enhancer); the only residual is cv2.remap's
-    # u8 INTER_LINEAR 5-bit fixed-point interpolation vs our exact float
-    # formulation: <=1 LSB on a handful of pixels (5 on this fixture).
-    assert d.max() <= 1, d.max()
-    assert (d > 0).mean() < 1e-4
+    # The FULL 8-stage chain is bit-exact vs the cv2 composition since
+    # round 5: the enhancer mixes cv2's SIMD/scalar HSV2BGR row kernels by
+    # column, and the remap replicates cv2's x86/IPP fma-lerp arithmetic
+    # (ops/undistortion mode="lerp").
+    np.testing.assert_array_equal(out, golden)
 
 
 def test_temporal_consistency_stream(bayer_frame):

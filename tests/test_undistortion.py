@@ -63,9 +63,7 @@ def test_full_undistortion_on_fixture():
     mx, my = init_undistort_rectify_map(K, D, R, newK, SIZE)
     ref = cv2.remap(img, mx, my, cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT, borderValue=0)
     out = np.asarray(remap_bilinear_u8_from_maps(img[None], mx, my))[0]
-    d = np.abs(out.astype(int) - ref.astype(int))
-    assert d.max() <= 1, d.max()
-    assert (d > 0).mean() < 1e-4
+    np.testing.assert_array_equal(out, ref)  # bit-exact since round 5
     # batched consistency
     out2 = np.asarray(remap_bilinear_u8_from_maps(np.stack([img, img]), mx, my))
     np.testing.assert_array_equal(out2[0], out2[1])
@@ -110,11 +108,20 @@ def test_remap_precompute_concentrates_oob_indices():
     mx = np.full((4, 6), -50.0, np.float32)  # entirely out of range
     my = np.full((4, 6), -50.0, np.float32)
     mx[0, 0], my[0, 0] = 3.5, 2.5            # one valid interior sample
+    # lerp (default): weight rows 2-5 are the tap masks; base carries the
+    # pack's +(w+1) margin, and all-out pixels point at margin row 0
     base, weights = remap_precompute(mx, my, (h, w))
-    oob = (weights == 0).all(axis=0)
+    oob = (weights[2:] == 0).all(axis=0)
     assert oob.sum() == 23 and not oob[0]
     np.testing.assert_array_equal(base[oob], 0)
-    assert base[0] == 2 * w + 3
+    assert base[0] == (2 * w + 3) + (w + 1)
+    # fixed32/float: 4 per-slot weights, no margin
+    for mode in ("fixed32", "float"):
+        base, weights = remap_precompute(mx, my, (h, w), mode=mode)
+        oob = (weights == 0).all(axis=0)
+        assert oob.sum() == 23 and not oob[0], mode
+        np.testing.assert_array_equal(base[oob], 0)
+        assert base[0] == 2 * w + 3, mode
 
 
 def test_remap_camera_blocked_matches_per_camera():
@@ -208,11 +215,95 @@ def test_pallas_blend_matches_xla():
     img = rng.integers(0, 256, (h, w, 5, 3), np.uint8)  # batch-minor
     mx = (rng.random((h, w)) * (w + 6) - 3).astype(np.float32)
     my = (rng.random((h, w)) * (h + 6) - 3).astype(np.float32)
-    base, weights = remap_precompute(mx, my, (h, w))
+    base, weights = remap_precompute(mx, my, (h, w), mode="float")
     args = (jnp.asarray(img), jnp.asarray(base), jnp.asarray(weights),
             (h, w), (h, w))
     ref = np.asarray(remap_bilinear_u8(*args, batch_minor=True,
-                                       blend_impl="xla"))
+                                       blend_impl="xla", mode="float"))
     got = np.asarray(remap_bilinear_u8(*args, batch_minor=True,
-                                       blend_impl="pallas"))
+                                       blend_impl="pallas", mode="float"))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_remap_lerp_exact_vs_cv2_fisheye_maps():
+    """Default mode ("lerp") = cv2 5.0's x86/IPP fma-lerp arithmetic:
+    bit-exact on the real fisheye maps over full frames (the old float
+    formulation differed at ~4 per million boundary pixels)."""
+    import jax.numpy as jnp
+
+    newK = estimate_new_camera_matrix(K, D, SIZE, R, 0.0, SIZE, 0.8)
+    mx, my = init_undistort_rectify_map(K, D, R, newK, SIZE)
+    for seed in range(3):
+        img = np.random.default_rng(seed).integers(0, 256, (540, 720, 3), np.uint8)
+        ref = cv2.remap(img, mx, my, cv2.INTER_LINEAR,
+                        borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+        out = np.asarray(remap_bilinear_u8_from_maps(img, mx, my))
+        np.testing.assert_array_equal(out, ref, err_msg=f"seed {seed}")
+
+
+def test_remap_fixed32_exact_vs_cv2_converted_maps():
+    """mode="fixed32" = OpenCV's non-IPP INTER_BITS=5 integer path (the
+    reference's ARM/Jetson deployment): bit-exact against cv2 fed
+    pre-converted CV_16SC2 fixed-point maps, which forces that path."""
+    import jax.numpy as jnp
+
+    from raw_image_pipeline_tpu.ops.undistortion import (
+        remap_bilinear_u8,
+        remap_precompute,
+    )
+
+    newK = estimate_new_camera_matrix(K, D, SIZE, R, 0.0, SIZE, 0.8)
+    mx, my = init_undistort_rectify_map(K, D, R, newK, SIZE)
+    m1, m2 = cv2.convertMaps(mx, my, cv2.CV_16SC2)
+    img = np.random.default_rng(5).integers(0, 256, (540, 720, 3), np.uint8)
+    ref = cv2.remap(img, m1, m2, cv2.INTER_LINEAR,
+                    borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    base, wts = remap_precompute(mx, my, (540, 720), mode="fixed32")
+    out = np.asarray(remap_bilinear_u8(
+        jnp.asarray(img)[None], jnp.asarray(base), jnp.asarray(wts),
+        (540, 720), (540, 720), mode="fixed32",
+    ))[0]
+    np.testing.assert_array_equal(out, ref)
+
+    # random wild maps too (borders + far out-of-range)
+    rng = np.random.default_rng(6)
+    mxw = rng.uniform(-20, 90, (40, 50)).astype(np.float32)
+    myw = rng.uniform(-20, 70, (40, 50)).astype(np.float32)
+    m1, m2 = cv2.convertMaps(mxw, myw, cv2.CV_16SC2)
+    img = rng.integers(0, 256, (60, 72, 3), np.uint8)
+    ref = cv2.remap(img, m1, m2, cv2.INTER_LINEAR,
+                    borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    base, wts = remap_precompute(mxw, myw, (60, 72), mode="fixed32")
+    out = np.asarray(remap_bilinear_u8(
+        jnp.asarray(img)[None], jnp.asarray(base), jnp.asarray(wts),
+        (40, 50), (60, 72), mode="fixed32",
+    ))[0]
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pipeline_interpolation_fixed32_matches_jetson_path():
+    """The config/API knob selects the ARM/Jetson (non-IPP) remap
+    arithmetic end-to-end: pipeline output equals cv2 forced onto its
+    fixed-point path via pre-converted maps."""
+    from raw_image_pipeline_tpu import RawImagePipeline
+    from raw_image_pipeline_tpu.config import (
+        DEFAULT_CALIBRATION_PATH,
+        DEFAULT_PARAMS_PATH,
+    )
+
+    img = cv2.imread("tests/fixtures/alphasense.png")
+    pipe = RawImagePipeline(False, DEFAULT_PARAMS_PATH,
+                            DEFAULT_CALIBRATION_PATH, "")
+    pipe.set_white_balance(False)
+    pipe.set_undistortion(True)
+    pipe.set_undistortion_balance(0.0)
+    pipe.set_undistortion_fov_scale(0.8)
+    pipe.set_undistortion_interpolation("fixed32")
+    out = pipe.process(img, "bgr8")
+
+    newK = estimate_new_camera_matrix(K, D, SIZE, R, 0.0, SIZE, 0.8)
+    mx, my = init_undistort_rectify_map(K, D, R, newK, SIZE)
+    m1, m2 = cv2.convertMaps(mx, my, cv2.CV_16SC2)
+    golden = cv2.remap(img, m1, m2, cv2.INTER_LINEAR,
+                       borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    np.testing.assert_array_equal(out, golden)
