@@ -488,8 +488,14 @@ def _remap_rows(arrs, base: jax.Array, weights: jax.Array,
             taps = tuple(rows[:, i * k:(i + 1) * k] for i in range(4))
         if mode == "lerp":
             # cv2 5.0 x86/IPP arithmetic: two x-lerps + one y-lerp, each a
-            # single-rounding fma (Dekker-emulated); masks zero the
-            # out-of-image taps (and any border wraparound garbage)
+            # single-rounding fma; masks zero the out-of-image taps (and
+            # any border wraparound garbage). The x-lerps use a LEAN exact
+            # fma: their second operand (v1-v0) and addend (v0) are exact
+            # small integers, so Dekker's 2Product needs no operand-b
+            # split, and the fx split is shared between the two lerps
+            # (verified == the f64-oracle fma over 16M samples incl.
+            # adversarial tiny fx; the y-lerp's operands are generic f32,
+            # so it keeps the full fma_f32 emulation).
             from raw_image_pipeline_tpu.ops.common import fma_f32
 
             fx = weights[0][sl, None]
@@ -498,8 +504,22 @@ def _remap_rows(arrs, base: jax.Array, weights: jax.Array,
             v01 = taps[1].astype(f32) * weights[3][sl, None]
             v10 = taps[2].astype(f32) * weights[4][sl, None]
             v11 = taps[3].astype(f32) * weights[5][sl, None]
-            t = fma_f32(fx, v01 - v00, v00)
-            b = fma_f32(fx, v11 - v10, v10)
+            C = f32(4097.0)  # Dekker split constant (2^12 + 1)
+            ca = fx * C
+            fxh = ca - (ca - fx)
+            fxl = fx - fxh
+
+            def lerp_x(v0, v1):
+                d = v1 - v0  # exact integer, |d| <= 255
+                pp = fx * d
+                err = (fxh * d - pp) + fxl * d
+                ss = pp + v0
+                bb = ss - pp
+                e2 = (pp - (ss - bb)) + (v0 - bb)
+                return ss + (e2 + err)
+
+            t = lerp_x(v00, v01)
+            b = lerp_x(v10, v11)
             outs.append(round_u8(fma_f32(fy, b - t, t)))
             continue
         if mode == "fixed32":
