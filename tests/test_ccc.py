@@ -125,9 +125,10 @@ def test_response_pallas_matches_xla(alphasense):
 def test_full_ccc_parity(alphasense):
     ref, (x_ref, y_ref), _, _ = cv_reference_ccc(alphasense)
     out, _ = ccc.ccc_balance_white(alphasense[None], MODEL)
-    d = np.abs(np.asarray(out)[0].astype(int) - ref.astype(int))
-    assert d.max() <= 1, d.max()
-    assert (d > 0).mean() < 1e-3
+    # bit-exact on the reference fixtures (round 5 tightening; the only
+    # theoretical residual is an f32-vs-double ulp in the exp() gains that
+    # no fixture or random sweep has ever fired — see PARITY.md)
+    np.testing.assert_array_equal(np.asarray(out)[0], ref)
 
 
 def test_full_ccc_batched(alphasense):
@@ -195,8 +196,7 @@ def test_full_ccc_parity_gehler_shi():
     assert img is not None
     ref, (x_ref, y_ref), _, _ = cv_reference_ccc(img)
     out, _ = ccc.ccc_balance_white(img[None], MODEL)
-    d = np.abs(np.asarray(out)[0].astype(int) - ref.astype(int))
-    assert d.max() <= 1, d.max()
+    np.testing.assert_array_equal(np.asarray(out)[0], ref)
 
 
 def test_kalman_scan_matches_sequential():
