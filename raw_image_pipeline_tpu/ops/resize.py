@@ -186,3 +186,69 @@ def resize_linear_u8(image: jax.Array, dst_h: int, dst_w: int) -> jax.Array:
     # the arithmetic cannot exceed 255 (see VResizeLinear's raw uchar cast);
     # clip is a semantic no-op kept as a guard
     return jnp.clip(acc, 0, 255).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("dst_h", "dst_w"))
+def resize_linear_u8_plane(img: jax.Array, dst_h: int, dst_w: int) -> jax.Array:
+    """Single-plane resize: [..., H, W] u8 (W in lanes) -> [..., dst_h,
+    dst_w] u8. Identical arithmetic to resize_linear_u8(img[..., None])
+    [..., 0] — bit-exact by the shared tables (asserted in
+    tests/test_resize_exact.py) — restructured for the TPU fast path:
+
+      * no channel-minor axis: the packed form puts C=1 in the lane
+        dimension and tile-pads every intermediate up to 128x;
+      * vertical tap rows are selected BEFORE the horizontal pass via the
+        reverse reshape (in-group static slices — never strided sublane
+        access, which is pathological on TPU), so the horizontal pass
+        runs only on the rows the vertical combine consumes;
+      * per-class outputs concatenate lane-blocked and the final small u8
+        output un-permutes columns in one transpose.
+
+    Measured (v5e, 3-plane 1080p->270x360 CCC working resize, B=128
+    K-dispatch steady): 93-126 -> ~50 us/frame STANDALONE. In the full
+    chain the swap is NEUTRAL (same-process A/B: 1286 vs 1287 us/frame)
+    — XLA's fusion already absorbs the packed form's padding when the
+    resize sits between the planar producers and the histogram — so this
+    form earns its keep for standalone/tool use, not chain throughput.
+    Non-periodic shapes fall back to the packed implementation."""
+    src_h, src_w = img.shape[-2], img.shape[-1]
+    sx, sx2, a0, a1 = _tables_x(src_w, dst_w)
+    sy, sy2, b0, b1 = _tables_y(src_h, dst_h)
+    xs = _periodic_structure(src_w, dst_w, sx, sx2)
+    ys = _periodic_structure(src_h, dst_h, sy, sy2)
+    if xs is None or ys is None:
+        return resize_linear_u8(img[..., None], dst_h, dst_w)[..., 0]
+    px_, qx, cx = xs
+    py_, qy, cy = ys
+    tx, ty = dst_w // qx, dst_h // qy
+    lead = img.shape[:-2]
+    i32 = jnp.int32
+    vgr = img.reshape(lead + (ty, py_, src_w))
+
+    def horiz(x):  # [..., ty, W] -> [..., ty, qx*tx] class-blocked int32
+        xg = x.reshape(lead + (ty, tx, px_))
+        hs = []
+        for j in range(qx):
+            w0 = jnp.asarray(a0.reshape(tx, qx)[:, j])
+            w1 = jnp.asarray(a1.reshape(tx, qx)[:, j])
+            hs.append(xg[..., int(cx[j])].astype(i32) * w0
+                      + xg[..., int(cx[j]) + 1].astype(i32) * w1)
+        return jnp.concatenate(hs, axis=-1)
+
+    vs = []
+    for j in range(qy):
+        s0 = horiz(vgr[..., int(cy[j]), :]) >> 4
+        s1 = horiz(vgr[..., int(cy[j]) + 1, :]) >> 4
+        wb0 = jnp.asarray(b0.reshape(ty, qy)[:, j])[:, None]
+        wb1 = jnp.asarray(b1.reshape(ty, qy)[:, j])[:, None]
+        vs.append((((wb0 * s0) >> 16) + ((wb1 * s1) >> 16) + 2) >> 2)
+    if qy == 1:
+        acc = vs[0]
+    else:
+        # dst row = qy*t + j: stack classes minor against the t axis
+        acc = jnp.stack(vs, axis=-2).reshape(lead + (dst_h, qx * tx))
+    out = jnp.clip(acc, 0, 255).astype(jnp.uint8)
+    out = out.reshape(lead + (dst_h, qx, tx))
+    perm = tuple(range(out.ndim - 2)) + (out.ndim - 1, out.ndim - 2)
+    # dst col = qx*t + j: un-block the class-major columns
+    return jnp.transpose(out, perm).reshape(lead + (dst_h, dst_w))

@@ -59,6 +59,7 @@ from raw_image_pipeline_tpu.ops.debayer import (
     debayer_planes,
 )
 from raw_image_pipeline_tpu.ops.flip import flip as flip_op
+from raw_image_pipeline_tpu.ops.resize import resize_linear_u8_plane
 from raw_image_pipeline_tpu.ops.flip import flipped_bayer_encoding
 from raw_image_pipeline_tpu.ops.gamma import (
     GAMMA_MAX_CORR,
@@ -569,12 +570,14 @@ def make_isp_fn(
             if wb.enabled and is_color:
                 if use_ccc:
                     if planar_early:
+                        # plane-form resize: wide lane dims + vertical-tap
+                        # row preselection (ops/resize.resize_linear_u8_plane
+                        # — bit-exact, ~2x the packed C=1 form on TPU)
                         small = jnp.stack(
                             [
-                                ccc_ops.resize_linear_u8(
-                                    p[..., None], ccc_ops.SMALL_H,
-                                    ccc_ops.SMALL_W,
-                                )[..., 0]
+                                resize_linear_u8_plane(
+                                    p, ccc_ops.SMALL_H, ccc_ops.SMALL_W
+                                )
                                 for p in planes
                             ],
                             axis=-1,

@@ -70,3 +70,32 @@ def test_periodic_structure_detection():
     # upsample: clamped borders break the pattern -> fallback path
     sy, sy2, _, _ = _tables_y(100, 270)
     assert _periodic_structure(100, 270, sy, sy2) is None
+
+
+def test_plane_form_matches_packed():
+    """resize_linear_u8_plane must equal the packed form bit-for-bit on
+    periodic downscales (incl. qy>1 classes), upsamples and non-periodic
+    fallback shapes, with and without leading batch dims."""
+    import jax.numpy as jnp
+
+    from raw_image_pipeline_tpu.ops.resize import (
+        resize_linear_u8,
+        resize_linear_u8_plane,
+    )
+
+    rng = np.random.default_rng(23)
+    cases = [
+        ((1080, 1920), (270, 360)),   # the CCC working resize (qx=3, qy=1)
+        ((100, 160), (40, 64)),       # qy=2, qx=2
+        ((540, 720), (270, 360)),     # p=2 halving
+        ((90, 120), (270, 360)),      # upsample -> fallback
+        ((271, 363), (70, 60)),       # non-periodic borders -> fallback
+    ]
+    for (sh, sw), (dh, dw) in cases:
+        img = rng.integers(0, 256, (2, sh, sw), np.uint8)
+        ref = np.asarray(resize_linear_u8(img[..., None], dh, dw))[..., 0]
+        got = np.asarray(resize_linear_u8_plane(jnp.asarray(img), dh, dw))
+        np.testing.assert_array_equal(got, ref, err_msg=f"{(sh,sw)}->{(dh,dw)}")
+        # no batch dim
+        got1 = np.asarray(resize_linear_u8_plane(jnp.asarray(img[0]), dh, dw))
+        np.testing.assert_array_equal(got1, ref[0])
