@@ -63,6 +63,8 @@ def draw_config(rng) -> PipelineConfig:
             cfg.undistortion, enabled=bool(rng.random() < 0.5),
             balance=float(rng.choice([0.0, 0.5])),
             fov_scale=float(rng.choice([0.8, 1.0, 1.2])),
+            # both reference-build remap arithmetics (ops/undistortion)
+            interpolation=str(rng.choice(["lerp", "fixed32"])),
         ),
         calibration=load_camera_calibration(DEFAULT_CALIBRATION_PATH),
     )
@@ -97,11 +99,14 @@ def cv2_golden(bayer, config: PipelineConfig):
             img = np.stack([pca(b), img[..., 1], pca(r)], -1)
     cc = config.color_calibration
     if cc.enabled:
+        # cv2.gemm, NOT numpy BLAS: numpy's fma-based sgemm differs from
+        # cv::gemm's plain left-associative K=3 chain at ~1% of final u8
+        # pixels (PARITY.md color-calibration row) — the old numpy proxy
+        # here hid inside the pre-round-5 fuzz envelope
         flat = img.reshape(-1, 3).astype(np.float32)
+        mixed = cv2.gemm(flat, cc.matrix_np().T.astype(np.float32), 1.0, None, 0.0)
         img = np.clip(
-            np.rint(flat @ cc.matrix_np().T.astype(np.float32)
-                    + cc.bias_np().astype(np.float32)),
-            0, 255,
+            np.rint(mixed + cc.bias_np().astype(np.float32)), 0, 255,
         ).astype(np.uint8).reshape(img.shape)
     gc = config.gamma_correction
     if gc.enabled:
@@ -128,8 +133,15 @@ def cv2_golden(bayer, config: PipelineConfig):
         )
         mx, my = cv2.fisheye.initUndistortRectifyMap(c.K(), c.D(), c.R(), newK,
                                                      size, cv2.CV_32F)
-        img = cv2.remap(img, mx, my, cv2.INTER_LINEAR,
-                        borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+        if un.interpolation == "fixed32":
+            # force cv2 onto its non-IPP fixed-point path (the semantics
+            # mode="fixed32" replicates) via pre-converted maps
+            m1, m2 = cv2.convertMaps(mx, my, cv2.CV_16SC2)
+            img = cv2.remap(img, m1, m2, cv2.INTER_LINEAR,
+                            borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+        else:
+            img = cv2.remap(img, mx, my, cv2.INTER_LINEAR,
+                            borderMode=cv2.BORDER_CONSTANT, borderValue=0)
     return img
 
 
@@ -142,21 +154,6 @@ def test_random_config_full_chain(bayer, seed):
     got = np.asarray(out["processed"])[0]
     golden = cv2_golden(bayer, config)
     assert got.shape == golden.shape, (got.shape, golden.shape)
-    d = np.abs(got.astype(int) - golden.astype(int))
-    # budget: exact integer stages + <=1 LSB float-boundary stages. The Lab
-    # inverse (vignetting) contributes up to 2, the HSV SIMD split 1, remap
-    # blending 1 more; when vignetting's Lab error feeds the enhancer's
-    # saturation gain, gamut-edge pixels can amplify a few LSB further at a
-    # <0.1% rate (PARITY.md).
-    vig = config.vignetting_correction.enabled
-    ce = config.color_enhancer.enabled
-    if vig and ce:
-        assert d.max() <= 10 and (d > 4).mean() < 1e-3, (seed, d.max())
-    elif vig:
-        # Lab inverse (<=2) stretched by gamut-edge decode + remap blending
-        assert d.max() <= 6 and (d > 4).mean() < 1e-4, (seed, d.max())
-    elif ce:
-        assert d.max() <= 4, (seed, d.max())
-    else:
-        assert d.max() <= 2, (seed, d.max())
-    assert d.mean() < 0.6, (seed, d.mean())
+    # Every stage is bit-exact vs its cv2 counterpart since round 5
+    # (PARITY.md) — randomized stage combinations must be too.
+    np.testing.assert_array_equal(got, golden, err_msg=f"seed {seed}")

@@ -115,7 +115,8 @@ def test_api_full_chain_vs_cv2_golden(bayer_frame):
     cc = load_color_calibration(DEFAULT_COLOR_CALIBRATION_PATH)
     flat = img.reshape(-1, 3).astype(np.float32)
     img = np.clip(
-        np.rint(flat @ cc.matrix_np().T.astype(np.float32) + cc.bias_np().astype(np.float32)),
+        np.rint(cv2.gemm(flat, cc.matrix_np().T.astype(np.float32), 1.0, None, 0.0)
+                + cc.bias_np().astype(np.float32)),
         0, 255,
     ).astype(np.uint8).reshape(img.shape)
     lut = np.array(
