@@ -63,6 +63,12 @@ def main(argv=None):
                          "queue-size-1 drop-to-newest like the reference "
                          "node's subscription) instead of reading files; "
                          "requires --raw-shape for the frame geometry")
+    ap.add_argument("--remap-interpolation", default=None,
+                    choices=["lerp", "fixed32", "float"],
+                    help="which OpenCV-build remap arithmetic to replicate "
+                         "(default from config: lerp = x86/IPP; fixed32 = "
+                         "ARM/Jetson — the reference's deployment; see "
+                         "ops/undistortion.remap_precompute)")
     ap.add_argument("--control", default=None, metavar="HOST:PORT",
                     help="with --listen: TCP line-protocol control channel "
                          "(runtime.control.ControlServer) exposing the "
@@ -86,6 +92,8 @@ def main(argv=None):
         raise SystemExit(f"no frames found in {args.input_dir}")
 
     api = RawImagePipeline(False, args.params, args.calibration, args.color_calibration)
+    if args.remap_interpolation:
+        api.set_undistortion_interpolation(args.remap_interpolation)
     if raw_mode:
         h, w = (int(x) for x in args.raw_shape.lower().split("x"))
         first = np.zeros((h, w), np.uint8)
@@ -99,6 +107,11 @@ def main(argv=None):
             args.color_calibration, config.color_calibration
         ),
     )
+    if args.remap_interpolation:
+        import dataclasses as _dc
+
+        config = config.replace(undistortion=_dc.replace(
+            config.undistortion, interpolation=args.remap_interpolation))
     runner = StreamRunner(
         config, args.encoding, first.shape[:2], batch_size=args.batch,
         output_encoding=args.output_encoding, slow_skip=args.skip_slow,
@@ -179,6 +192,8 @@ def _run_live(args):
 
     api = RawImagePipeline(False, args.params, args.calibration,
                            args.color_calibration)
+    if args.remap_interpolation:
+        api.set_undistortion_interpolation(args.remap_interpolation)
     os.makedirs(args.output_dir, exist_ok=True)
     infos = make_camera_infos(api, output_frame=args.output_frame)
     with open(os.path.join(args.output_dir, "camera_info.yaml"), "w") as f:
