@@ -89,6 +89,10 @@ class WhiteBalanceConfig:
     # TPU extension: path to the FFCC model binary (reference hardcodes
     # model/default.bin, convolutional_color_constancy.cpp:16).
     ccc_model_path: str = DEFAULT_CCC_MODEL_PATH
+    # CCC log-chroma origin (the reference node's setUV0 dynamic-reconfigure
+    # knob, ccc.cpp:349-357 / cfg/RawImagePipelineWhiteBalance.cfg). A
+    # runtime parameter in the built pipeline: retuning never recompiles.
+    ccc_uv0: float = -1.421875
 
 
 @dataclass(frozen=True)
@@ -273,6 +277,7 @@ def load_pipeline_params(path: str, base: Optional[PipelineConfig] = None) -> Pi
             clipping_percentile=float(_get(wb, "clipping_percentile", 20.0)),
             saturation_bright_thr=float(_get(wb, "saturation_bright_thr", 0.8)),
             saturation_dark_thr=float(_get(wb, "saturation_dark_thr", 0.1)),
+            ccc_uv0=float(_get(wb, "ccc_uv0", -1.421875)),
             temporal_consistency=bool(_get(wb, "temporal_consistency", True)),
             ccc_model_path=base.white_balance.ccc_model_path,
         ),

@@ -87,6 +87,7 @@ def set_histogram_impl(impl: str) -> None:
     _HIST_IMPL = impl
     # the selector is read at trace time; drop cached traces
     log_chroma_histogram.clear_cache()
+    log_chroma_histogram_rt.clear_cache()
 
 
 _HIST_ROWS, _HIST_PC = 8, 2048  # pallas kernel block: 8 chunks x 2048 pixels
@@ -160,11 +161,32 @@ def log_chroma_histogram(
     """[..., H, W, 3] uint8 BGR -> [..., 256, 256] float32 histogram.
 
     The image should already be the 360x270 working resize; H*W defines the
-    reference's pixel_weight normalization.
-    """
+    reference's pixel_weight normalization. Thresholds/uv0 are trace-time
+    floats here; the pipeline uses log_chroma_histogram_rt (runtime
+    scalars — retuning never recompiles)."""
+    return _log_chroma_histogram_core(
+        image, 255.0 * bright_thr, 255.0 * dark_thr, uv0, impl
+    )
+
+
+@partial(jax.jit, static_argnames=("impl",))
+def log_chroma_histogram_rt(
+    image: jax.Array, bright_cut: jax.Array, dark_cut: jax.Array,
+    uv0: jax.Array, impl: Optional[str] = None,
+) -> jax.Array:
+    """Runtime-parameter variant: bright_cut/dark_cut are the PRE-SCALED
+    255*threshold values (f32 scalars — compute them with the float64
+    product on host for bit-identity with the static path) and uv0 an f32
+    scalar. Retuning the CCC thresholds / uv0 (the reference node's
+    dynamic_reconfigure knobs, cfg/RawImagePipelineWhiteBalance.cfg:8-12)
+    therefore never recompiles a built pipeline."""
+    return _log_chroma_histogram_core(image, bright_cut, dark_cut, uv0, impl)
+
+
+def _log_chroma_histogram_core(image, bright_cut, dark_cut, uv0, impl):
     f = image.astype(jnp.float32)
     gray = bgr_to_gray_f32(f)
-    include = (gray <= 255.0 * bright_thr) & (gray > 255.0 * dark_thr)
+    include = (gray <= bright_cut) & (gray > dark_cut)
 
     logs = jnp.log(f)
     log_b, log_g, log_r = logs[..., 0], logs[..., 1], logs[..., 2]

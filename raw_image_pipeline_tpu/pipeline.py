@@ -129,6 +129,12 @@ class IspParams:
     ccc_filt_dft_re: jax.Array
     ccc_filt_dft_im: jax.Array
     ccc_bias: jax.Array
+    # CCC tuning scalars (the reference node's dynamic_reconfigure knobs):
+    # pre-scaled 255*threshold cuts + the log-chroma origin uv0 — runtime
+    # params, so retuning never recompiles (scalar 0 when CCC unused)
+    ccc_bright_cut: jax.Array
+    ccc_dark_cut: jax.Array
+    ccc_uv0: jax.Array
 
 
 # Cross-frame state: the CCC Kalman illuminant track.
@@ -282,14 +288,21 @@ def make_params(
     else:
         remap_base = remap_weights = zero
 
-    if config.white_balance.enabled and config.white_balance.method == "ccc":
+    wbc = config.white_balance
+    if wbc.enabled and wbc.method == "ccc":
         if ccc_model is None:
-            ccc_model = load_ccc_model(config.white_balance.ccc_model_path)
+            ccc_model = load_ccc_model(wbc.ccc_model_path)
         filt_re = jnp.asarray(ccc_model.filt_dft_re)
         filt_im = jnp.asarray(ccc_model.filt_dft_im)
         ccc_bias = jnp.asarray(ccc_model.bias)
+        # f64 products narrowed to f32, matching the static path's
+        # constant-fold semantics bit-for-bit
+        bright_cut = jnp.float32(255.0 * wbc.saturation_bright_thr)
+        dark_cut = jnp.float32(255.0 * wbc.saturation_dark_thr)
+        uv0_rt = jnp.float32(wbc.ccc_uv0)
     else:
         filt_re = filt_im = ccc_bias = zero
+        bright_cut = dark_cut = uv0_rt = zero
 
     gc = config.gamma_correction
     gamma_poly = np.zeros(GAMMA_POLY_LEN, np.float32)
@@ -338,6 +351,9 @@ def make_params(
         ccc_filt_dft_re=filt_re,
         ccc_filt_dft_im=filt_im,
         ccc_bias=ccc_bias,
+        ccc_bright_cut=bright_cut,
+        ccc_dark_cut=dark_cut,
+        ccc_uv0=uv0_rt,
     )
 
 
@@ -586,9 +602,9 @@ def make_isp_fn(
                         small = ccc_ops.resize_linear_u8(
                             img, ccc_ops.SMALL_H, ccc_ops.SMALL_W
                         )
-                    hist = ccc_ops.log_chroma_histogram(
-                        small, wb.saturation_bright_thr, wb.saturation_dark_thr,
-                        impl=impls["histogram"],
+                    hist = ccc_ops.log_chroma_histogram_rt(
+                        small, params.ccc_bright_cut, params.ccc_dark_cut,
+                        params.ccc_uv0, impl=impls["histogram"],
                     )
                     resp = ccc_ops.ccc_response(
                         hist, params.ccc_filt_dft_re, params.ccc_filt_dft_im,
@@ -614,7 +630,7 @@ def make_isp_fn(
                         else:
                             # batch axis = independent cameras, one track each
                             state, uv = ccc_ops.kalman_update(state, uv)
-                    gains = ccc_ops.gains_from_uv(uv)
+                    gains = ccc_ops.gains_from_uv(uv, params.ccc_uv0)
                     if planar_early:
                         planes = ccc_ops.apply_gains_planes(planes, gains)
                     else:

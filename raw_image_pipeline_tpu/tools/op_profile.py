@@ -363,9 +363,17 @@ def section_steady(b=128, h=1080, w=1920):
         ("color_calibration", full.replace(
             color_calibration=r(full.color_calibration, enabled=False))),
     )
+    # re-measure the BASE around every ablation: even within one process
+    # the tunnel worker's load can drift over minutes (round-5 finding —
+    # a one-shot base poisoned a whole ablation table), so each stage
+    # cost differences against the min of its bracketing base runs
     for name, cfg in ablations:
         t = steady(cfg)
-        log(f"  {name:20s} {(base-t)/b*1e6:8.0f} us/frame (stage cost)")
+        base2 = steady(full)
+        b_loc = min(base, base2)
+        log(f"  {name:20s} {(b_loc-t)/b*1e6:8.0f} us/frame (stage cost; "
+            f"base drift {abs(base2-base)/b*1e6:.0f} us/frame)")
+        base = base2
 
 
 def main():

@@ -252,3 +252,46 @@ def test_pipeline_sequence_mode_matches_per_frame_dispatch():
     out, end_state = seq_pipe(frames, init_state(()))
     np.testing.assert_array_equal(np.asarray(out["processed"]), np.stack(ref_out))
     np.testing.assert_allclose(np.asarray(end_state.x), np.asarray(st.x)[0])
+
+
+def test_ccc_retune_without_recompile(alphasense):
+    """The CCC tuning knobs (saturation thresholds, uv0 — the reference
+    node's dynamic_reconfigure surface) are RUNTIME parameters: swapping
+    them via make_params on an already-built pipeline changes the output
+    without a retrace, and matches a freshly built pipeline bit-for-bit."""
+    import dataclasses
+
+    from raw_image_pipeline_tpu.config import PipelineConfig
+    from raw_image_pipeline_tpu.pipeline import build_pipeline, make_params
+
+    def cfg_with(bright, dark, uv0):
+        base = PipelineConfig()
+        return PipelineConfig(
+            white_balance=dataclasses.replace(
+                base.white_balance, enabled=True, method="ccc",
+                temporal_consistency=False,
+                saturation_bright_thr=bright, saturation_dark_thr=dark,
+                ccc_uv0=uv0,
+            )
+        )
+
+    hw = alphasense.shape[:2]
+    c1 = cfg_with(0.8, 0.1, -1.421875)
+    c2 = cfg_with(0.95, 0.05, -1.5)
+    pipe = build_pipeline(c1, "bgr8", frame_hw=hw)
+    out1, _ = pipe(alphasense[None])
+
+    # retune: new params through the SAME traced fn
+    p2 = make_params(c2, hw, pipe.ccc_model)
+    out2, _ = pipe.fn(p2, alphasense[None], None)
+    fresh = build_pipeline(c2, "bgr8", frame_hw=hw)
+    ref2, _ = fresh(alphasense[None])
+    np.testing.assert_array_equal(
+        np.asarray(out2["processed"]), np.asarray(ref2["processed"])
+    )
+    # the retune actually changed behavior on this fixture
+    assert not np.array_equal(
+        np.asarray(out1["processed"]), np.asarray(out2["processed"])
+    )
+    # and the original fn was never retraced
+    assert pipe.fn._cache_size() == 1
