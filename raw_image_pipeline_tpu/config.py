@@ -310,6 +310,14 @@ def load_pipeline_params(path: str, base: Optional[PipelineConfig] = None) -> Pi
             enabled=bool(_get(und, "enabled", False)),
             balance=float(_get(und, "balance", 0.0)),
             fov_scale=float(_get(und, "fov_scale", 1.0)),
+            # TPU extensions have no reference YAML key: carry them from
+            # `base` so a params (re)load never silently resets a
+            # programmatic setting (the interpolation choice in particular
+            # survives the control channel's reload_params)
+            new_image_size=base.undistortion.new_image_size,
+            interpolation=str(
+                _get(und, "interpolation", base.undistortion.interpolation)
+            ),
         ),
         calibration=base.calibration,
     )

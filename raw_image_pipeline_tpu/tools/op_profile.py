@@ -206,9 +206,29 @@ def section_remap(b_small=16, b_big=64):
 
     h, w = 1080, 1920
     cfg = ge._full_config((h, w))
-    params = make_params(cfg, (h, w))
-    base = jax.device_put(params.remap_base)
-    weights = jax.device_put(params.remap_weights)
+    # the pack_only/pack_gather replicas below implement the float-mode
+    # 4-slot pack (no margin); precompute in that mode so the indices
+    # match (params.remap_base in the default lerp mode carries a +margin
+    # offset into a differently laid-out pack)
+    from raw_image_pipeline_tpu.ops.undistortion import (
+        estimate_new_camera_matrix,
+        init_undistort_rectify_map,
+        remap_precompute,
+    )
+
+    calib = cfg.calibration
+    size = (calib.image_width, calib.image_height)
+    newK = estimate_new_camera_matrix(
+        calib.K(), calib.D(), size, calib.R(),
+        cfg.undistortion.balance, size, cfg.undistortion.fov_scale,
+    )
+    mx, my = init_undistort_rectify_map(calib.K(), calib.D(), calib.R(),
+                                        newK, size)
+    base_np, weights_np = remap_precompute(mx, my, (h, w), mode="float")
+    import jax.numpy as _jnp
+
+    base = jax.device_put(_jnp.asarray(base_np))
+    weights = jax.device_put(_jnp.asarray(weights_np))
     imgs = {b: device_noise((h, w, b, 3), b + 2) for b in (b_small, b_big)}
     n = int(base.shape[0])
     n_chunks = max(1, -(-n // 550_000))
@@ -236,7 +256,7 @@ def section_remap(b_small=16, b_big=64):
 
     def full(x):
         y = remap_bilinear_u8(x, base, weights, (h, w), (h, w),
-                              batch_minor=True)
+                              batch_minor=True, mode="float")
         return jnp.sum(y[::499], dtype=jnp.int32)
 
     for name, step in (
@@ -259,7 +279,7 @@ def section_pointwise(b_small=16, b_big=64):
     import __graft_entry__ as ge
     from raw_image_pipeline_tpu.pipeline import make_params
     from raw_image_pipeline_tpu.ops.color_calibration import color_correct
-    from raw_image_pipeline_tpu.ops.color_enhancer import enhance
+    from raw_image_pipeline_tpu.ops.color_enhancer import enhance_packed
     from raw_image_pipeline_tpu.ops.gamma import (
         gamma_apply_poly, gamma_poly_coeffs,
     )
@@ -295,8 +315,12 @@ def section_pointwise(b_small=16, b_big=64):
                            dtype=jnp.int32)),
         ("vignetting (Lab roundtrip)", imgs,
          lambda x: jnp.sum(vig(x, mask)[::499], dtype=jnp.int32)),
+        # batch-minor [H, W, B, 3] images: the frame's W axis is axis 1
+        # (w_axis default -2 would treat B as the width and run the wrong
+        # SIMD/scalar kernel mix)
         ("color_enhancer (HSV)", imgs,
-         lambda x: jnp.sum(enhance(x, gains)[::499], dtype=jnp.int32)),
+         lambda x: jnp.sum(enhance_packed(x, gains, w_axis=1)[::499],
+                           dtype=jnp.int32)),
     )
     for name, inputs, step in cases:
         jitted = jax.jit(step)

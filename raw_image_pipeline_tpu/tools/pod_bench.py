@@ -50,13 +50,16 @@ def main(argv=None):
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--batch-per-device", type=int, default=64)
     ap.add_argument("--k-dispatch", type=int, default=6,
-                    help="back-to-back dispatches per timing round")
+                    help="back-to-back dispatches per timing round (>= 3)")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--cpu", action="store_true",
                     help="CPU smoke mode (CI): force the CPU backend")
     ap.add_argument("--local-devices", type=int, default=None,
                     help="with --cpu: virtual CPU devices per process")
     args = ap.parse_args(argv)
+    if args.k_dispatch < 3:
+        ap.error("--k-dispatch must be >= 3 (the marginal differences "
+                 "k vs 2 dispatches)")
 
     if args.cpu:
         if args.local_devices:
@@ -117,18 +120,14 @@ def main(argv=None):
     np.asarray(step(params, gbatch))
     log(f"[pod_bench] compile+first: {time.perf_counter() - t0:.1f}s")
 
-    def kdisp(k):
-        t0 = time.perf_counter()
-        r = None
-        for _ in range(k):
-            r = step(params, gbatch)
-        np.asarray(r)  # the global checksum fetch is the sync point
-        return time.perf_counter() - t0
+    # the shared K-dispatch steady-state recipe (bench.py at the repo
+    # root — pod_bench already runs from there for __graft_entry__)
+    from bench import steady_per_frame
 
-    kdisp(2)
     k = args.k_dispatch
-    t_d = min((kdisp(k) - kdisp(2)) / (k - 2) for _ in range(args.rounds))
-    global_fps = b_global / t_d
+    spf = steady_per_frame(lambda: step(params, gbatch), b_global,
+                           k_hi=k, rounds=args.rounds)
+    global_fps = 1.0 / spf
 
     # single-chip arm, same process, same per-chip batch: the efficiency
     # denominator. Uses a plain single-device build (Pallas fast paths on).
@@ -139,18 +138,10 @@ def main(argv=None):
     step1 = jax.jit(lambda p, x: jnp.sum(
         pipe1.fn(p, x, None)[0]["processed"], dtype=jnp.int32))
     np.asarray(step1(params1, one))
-
-    def kdisp1(kk):
-        t0 = time.perf_counter()
-        r = None
-        for _ in range(kk):
-            r = step1(params1, one)
-        np.asarray(r)
-        return time.perf_counter() - t0
-
-    kdisp1(2)
-    t1 = min((kdisp1(k) - kdisp1(2)) / (k - 2) for _ in range(args.rounds))
-    chip_fps = args.batch_per_device / t1
+    spf1 = steady_per_frame(lambda: step1(params1, one),
+                            args.batch_per_device, k_hi=k,
+                            rounds=args.rounds)
+    chip_fps = 1.0 / spf1
     efficiency = global_fps / (chip_fps * n_dev)
 
     result = {

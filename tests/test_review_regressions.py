@@ -157,3 +157,27 @@ def test_api_temporal_consistency_batch_equals_loop():
     p2 = fresh()
     loop_out = np.stack([p2.process(f, "bayer_gbrg8") for f in frames])
     np.testing.assert_array_equal(batch_out, loop_out)
+
+
+def test_params_reload_preserves_interpolation():
+    """TPU-extension fields with no reference YAML key (remap
+    interpolation, new_image_size) must survive a params (re)load — the
+    control channel's reload_params used to silently reset a programmatic
+    'fixed32' back to the default (round-5 review finding)."""
+    import dataclasses
+
+    from raw_image_pipeline_tpu.config import (
+        DEFAULT_PARAMS_PATH,
+        PipelineConfig,
+        load_pipeline_params,
+    )
+
+    base = PipelineConfig(
+        undistortion=dataclasses.replace(
+            PipelineConfig().undistortion,
+            interpolation="fixed32", new_image_size=(1440, 1080),
+        )
+    )
+    loaded = load_pipeline_params(DEFAULT_PARAMS_PATH, base)
+    assert loaded.undistortion.interpolation == "fixed32"
+    assert loaded.undistortion.new_image_size == (1440, 1080)
