@@ -162,6 +162,19 @@ def tpu_fps(h=1080, w=1920, batches=(16, 64, 128), tag="tpu full chain"):
     # floor at 0: differencing sub-ms timings can go negative on jitter
     null_pd = max(0.0, steady_per_frame(lambda: null_step(z), 1))
     spf_corr = max(spf - null_pd / b_op, 1e-9)
+    # HBM-stream canary: a 512 MB strided-read reduction. On an idle chip
+    # this streams at ~700-800 GB/s; during co-tenant contention windows it
+    # has measured as low as ~100 GB/s (round 5) while the chain slows
+    # only ~1.3x (latency/VPU-bound). Recording the canary makes any
+    # slow-window bench attributable to infrastructure, not the code.
+    big = device_noise((512 * 1024 * 1024,), 97)
+    stream = jax.jit(lambda v: jnp.sum(v[::997], dtype=jnp.int32))
+    np.asarray(stream(big))
+    t_stream = steady_per_frame(lambda: stream(big), 1)
+    big.delete()
+    hbm_gbps = 0.5 / t_stream if t_stream > 0 else float("inf")
+    log(f"{tag} HBM-stream canary: {hbm_gbps:.0f} GB/s "
+        f"({'idle-chip range' if hbm_gbps > 400 else 'CONTENDED window'})")
     log(f"{tag} steady-state: {1/spf:.1f} frames/s "
         f"({spf*1e6:.0f} us/frame at B={b_op}, back-to-back; null-program "
         f"dispatch {null_pd*1e3:.2f} ms -> enqueue-corrected "
@@ -175,6 +188,7 @@ def tpu_fps(h=1080, w=1920, batches=(16, 64, 128), tag="tpu full chain"):
         "steady_batch": b_op,
         "steady_fps_enqueue_corrected": 1.0 / spf_corr,
         "null_dispatch_ms": null_pd * 1e3,
+        "hbm_stream_gbps": hbm_gbps,
     }
 
 
@@ -869,6 +883,7 @@ def main():
             head["steady_fps_enqueue_corrected"], 2
         ),
         "null_dispatch_ms": round(head["null_dispatch_ms"], 2),
+        "hbm_stream_gbps": round(head.get("hbm_stream_gbps", 0), 1),
         "best_pair_marginal_fps": round(head["best_pair_fps"], 2),
     }))
 
