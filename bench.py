@@ -808,6 +808,7 @@ SLOW_WORKER_STEADY_US = 1550
 
 
 def main():
+    t_start = time.perf_counter()
     cpu = cpu_fps()
     # the axon compile helper occasionally restarts; one retry covers it
     for attempt in range(2):
@@ -820,7 +821,10 @@ def main():
             if attempt == 1:
                 raise
             time.sleep(30)
-    if 1e6 / head["steady_fps"] > SLOW_WORKER_STEADY_US:
+    # the retry adds up to ~8 min; skip it if the run is already long so
+    # a driver-side timeout can never truncate the recorded JSON line
+    if (1e6 / head["steady_fps"] > SLOW_WORKER_STEADY_US
+            and time.perf_counter() - t_start < 10 * 60):
         log(f"slow tunnel worker detected (steady "
             f"{1e6/head['steady_fps']:.0f} us/frame > {SLOW_WORKER_STEADY_US}"
             "); re-measuring the headline on a fresh connection")
