@@ -124,10 +124,13 @@ def test_remap_precompute_concentrates_oob_indices():
         assert base[0] == 2 * w + 3, mode
 
 
-def test_remap_camera_blocked_matches_per_camera():
+@pytest.mark.parametrize("mode_env", ["lerp", "fixed32", "float"])
+def test_remap_camera_blocked_matches_per_camera(mode_env, monkeypatch):
     # the camera-blocked gather (stacked base/weights, row-concatenated
     # packs) must equal independent per-camera remaps for all three entry
-    # layouts: planes, batch-minor packed, batch-major packed
+    # layouts: planes, batch-minor packed, batch-major packed — in every
+    # remap arithmetic mode
+    monkeypatch.setenv("REMAP_MODE_UNDER_TEST", mode_env)
     import jax.numpy as jnp
     from raw_image_pipeline_tpu.ops.undistortion import (
         remap_bilinear_u8,
@@ -138,11 +141,15 @@ def test_remap_camera_blocked_matches_per_camera():
     rng = np.random.default_rng(5)
     h, w, bc = 24, 32, 3
     imgs = rng.integers(0, 256, (2, bc, h, w, 3), np.uint8)  # [cam, B, H, W, C]
+    # camera-blocked stacking must hold in every remap mode (lerp stacks
+    # [C, 6, N] weights, fixed32/float [C, 4, N])
+    import os
+    mode = os.environ.get("REMAP_MODE_UNDER_TEST", "lerp")
     bases, weightss = [], []
     for cam in range(2):
         mx = rng.uniform(-2, w + 1, (h, w)).astype(np.float32)
         my = rng.uniform(-2, h + 1, (h, w)).astype(np.float32)
-        b_, w_ = remap_precompute(mx, my, (h, w))
+        b_, w_ = remap_precompute(mx, my, (h, w), mode=mode)
         bases.append(b_)
         weightss.append(w_)
     base2 = jnp.asarray(np.stack(bases))
@@ -153,7 +160,7 @@ def test_remap_camera_blocked_matches_per_camera():
         np.asarray(
             remap_bilinear_u8(
                 jnp.asarray(imgs[cam]), jnp.asarray(bases[cam]),
-                jnp.asarray(weightss[cam]), (h, w),
+                jnp.asarray(weightss[cam]), (h, w), mode=mode,
             )
         )
         for cam in range(2)
@@ -164,7 +171,7 @@ def test_remap_camera_blocked_matches_per_camera():
         out = np.asarray(
             remap_bilinear_u8(
                 jnp.asarray(imgs.reshape(2 * bc, h, w, 3)), base2, weights2,
-                (h, w), n_cameras=2, tuning=tuning,
+                (h, w), n_cameras=2, tuning=tuning, mode=mode,
             )
         ).reshape(2, bc, h, w, 3)
         for cam in range(2):
@@ -175,7 +182,7 @@ def test_remap_camera_blocked_matches_per_camera():
         out_bm = np.asarray(
             remap_bilinear_u8(
                 bm, base2, weights2, (h, w), batch_minor=True,
-                n_cameras=2, tuning=tuning,
+                n_cameras=2, tuning=tuning, mode=mode,
             )
         )  # [2, Ho, Wo, B, C]
         for cam in range(2):
@@ -191,6 +198,7 @@ def test_remap_camera_blocked_matches_per_camera():
         out_p = np.asarray(
             remap_bilinear_u8_planes(
                 planes, base2, weights2, (h, w), n_cameras=2, tuning=tuning,
+                mode=mode,
             )
         )  # [2, Ho, Wo, C, B]
         for cam in range(2):
