@@ -218,7 +218,7 @@ def remap_precompute(
     a quantization-free variant kept selectable for comparison (differs
     from the IPP lerp at ~4 per million pixels).
 
-    The fetch window for output pixel o is the 2x2 block anchored at
+    fixed32/float fetch window: the 2x2 block anchored at
     base = (clip(iy,0,H-2), clip(ix,0,W-2)); the weights are assigned to
     the four *fetched* positions, with any tap falling outside the image
     contributing exactly 0 (= cv::remap BORDER_CONSTANT 0). Clipping only
@@ -228,9 +228,10 @@ def remap_precompute(
     cv2, see tests/test_undistortion.py) without materializing a padded
     copy per call.
 
-    Returns (base [N] int32 flat row-major indices into H*W,
-             weights [4, N] float32 for fetched offsets {0, +1, +W, +W+1};
-             integer-valued 2^15-scale in fixed32 mode).
+    Returns (base [N] int32 flat row-major gather indices,
+             weights [4, N] f32 per-slot weights for offsets
+             {0, +1, +W, +W+1} - integer-valued 2^15-scale in fixed32
+             mode; [6, N] (fx, fy, 4 tap masks) in lerp mode).
     """
     h, w = src_hw
     f32 = np.float32
@@ -266,8 +267,16 @@ def remap_precompute(
         base = np.where(any_in, flat + m, 0).astype(np.int32)
         return base, weights
     if mode == "fixed32":
-        sx = np.rint((mx.astype(f32) * f32(_INTER_TAB_SIZE)).astype(f32)).astype(np.int64)
-        sy = np.rint((my.astype(f32) * f32(_INTER_TAB_SIZE)).astype(f32)).astype(np.int64)
+        # clip in float before the int cast: a pathological map value
+        # near f32 max would otherwise overflow the int64 conversion
+        # (cv2 saturates its XY shorts similarly; such pixels are fully
+        # out-of-image either way)
+        sx = np.rint(np.clip(
+            (mx.astype(f32) * f32(_INTER_TAB_SIZE)).astype(f32),
+            -2.0**40, 2.0**40)).astype(np.int64)
+        sy = np.rint(np.clip(
+            (my.astype(f32) * f32(_INTER_TAB_SIZE)).astype(f32),
+            -2.0**40, 2.0**40)).astype(np.int64)
         ix = sx >> _INTER_BITS
         iy = sy >> _INTER_BITS
         w4 = _bilinear_fixed_wtab()[
