@@ -87,7 +87,13 @@ def estimate_new_camera_matrix(
     image_size/new_size are (width, height)."""
     w, h = image_size
     balance = min(max(balance, 0.0), 1.0)
-    pts = np.array([[w / 2, 0], [w, h / 2], [w / 2, h], [0, h / 2]], np.float64)
+    # the C++ boundary sample points use INTEGER division for the
+    # midpoints (int width/height, fisheye.cpp) — visible at ODD sizes,
+    # where float halves shift newK by ~0.3 px (round-5 finding, verified
+    # equal to cv2 at odd sizes only with the integer halves)
+    pts = np.array(
+        [[w // 2, 0], [w, h // 2], [w // 2, h], [0, h // 2]], np.float64
+    )
     up = fisheye_undistort_points(pts, K, D, R)
     cn = up.mean(axis=0)
     aspect = K[0, 0] / K[1, 1]
@@ -130,16 +136,34 @@ def init_undistort_rectify_map(
     w, h = size
     PR = np.asarray(P, np.float64)[:3, :3] @ np.asarray(R, np.float64)
     iR = np.linalg.inv(PR)
-    j, i = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
-    _x = iR[0, 0] * j + iR[0, 1] * i + iR[0, 2]
-    _y = iR[1, 0] * j + iR[1, 1] * i + iR[1, 2]
-    _w = iR[2, 0] * j + iR[2, 1] * i + iR[2, 2]
+
+    # cv2 walks each row INCREMENTALLY (_x starts at i*iR01 + iR02 and
+    # accumulates += iR00 per column, fisheye.cpp) — the running-sum
+    # rounding differs from the closed form j*iR00 + i*iR01 + iR02 at
+    # ~.5-ulp boundaries (one f32 map ulp flipped on a real-D 720x540
+    # sweep; round-5 finding). np.add.accumulate is the same ordered scan.
+    rows = np.arange(h, dtype=np.float64)[:, None]
+
+    def scan_row(r0):
+        steps = np.full((h, w), iR[r0, 0])
+        steps[:, 0:1] = rows * iR[r0, 1] + iR[r0, 2]
+        return np.add.accumulate(steps, axis=1)
+
+    _x = scan_row(0)
+    _y = scan_row(1)
+    _w = scan_row(2)
     x = _x / _w
     y = _y / _w
     r = np.sqrt(x * x + y * y)
     theta = np.arctan(r)
+    # the power chain must match cv2's double arithmetic op-for-op
+    # (theta6 = theta4*theta2 etc. — np.power(t2, 3) rounds differently
+    # at ~1-ulp boundaries; round-5 finding on synthetic intrinsics)
     t2 = theta * theta
-    theta_d = theta * (1 + D[0] * t2 + D[1] * t2**2 + D[2] * t2**3 + D[3] * t2**4)
+    t4 = t2 * t2
+    t6 = t4 * t2
+    t8 = t4 * t4
+    theta_d = theta * (1 + D[0] * t2 + D[1] * t4 + D[2] * t6 + D[3] * t8)
     with np.errstate(invalid="ignore", divide="ignore"):
         scale = np.where(r == 0, 1.0, theta_d / np.where(r == 0, 1.0, r))
     u = K[0, 0] * x * scale + K[0, 2]

@@ -315,3 +315,87 @@ def test_pipeline_interpolation_fixed32_matches_jetson_path():
     golden = cv2.remap(img, m1, m2, cv2.INTER_LINEAR,
                        borderMode=cv2.BORDER_CONSTANT, borderValue=0)
     np.testing.assert_array_equal(out, golden)
+
+
+@pytest.mark.parametrize("size", [(99, 77), (101, 75), (720, 540), (98, 76)])
+def test_estimate_new_camera_matrix_odd_sizes(size):
+    """cv2's boundary sample points use C++ INTEGER division for the
+    midpoints — visible only at ODD image sizes (round-5 finding: float
+    halves shifted newK ~0.3 px and broke full-chain parity there)."""
+    w, h = size
+    sx, sy = w / 720.0, h / 540.0
+    Ks = np.array([[347.5 * sx, 0, 342.45 * sx],
+                   [0, 347.4 * sy, 271.37 * sy], [0, 0, 1]])
+    for balance, fov in ((0.0, 1.0), (0.3, 1.1), (1.0, 0.8)):
+        ref = cv2.fisheye.estimateNewCameraMatrixForUndistortRectify(
+            Ks, D, (w, h), R, balance=balance, new_size=(w, h), fov_scale=fov
+        )
+        mine = estimate_new_camera_matrix(Ks, D, (w, h), R, balance,
+                                          (w, h), fov)
+        np.testing.assert_allclose(mine, ref, rtol=0, atol=1e-9)
+        # map parity given the same newK (a <=1e-9 newK difference can
+        # still flip f32 map ulps, so the estimate and the map builder
+        # are asserted separately)
+        mx_ref, my_ref = cv2.fisheye.initUndistortRectifyMap(
+            Ks, D, R, ref, (w, h), cv2.CV_32F)
+        mx, my = init_undistort_rectify_map(Ks, D, R, ref, (w, h))
+        np.testing.assert_array_equal(mx, mx_ref)
+        np.testing.assert_array_equal(my, my_ref)
+
+
+def test_full_chain_bit_exact_odd_frame():
+    """Full chain (gamma+vig+enhancer+undistortion) on an ODD-sized frame
+    is bit-exact vs the cv2 golden — exercises the xla debayer fallback,
+    the enhancer's scalar column tail, and the odd-size fisheye init."""
+    import dataclasses
+
+    from raw_image_pipeline_tpu.config import CameraCalibration, PipelineConfig
+    from raw_image_pipeline_tpu.ops.gamma import build_gamma_lut
+    from raw_image_pipeline_tpu.ops.vignetting import build_vignetting_mask
+    from raw_image_pipeline_tpu.pipeline import build_pipeline
+
+    h, w = 77, 99
+    rng = np.random.default_rng(3)
+    bay = rng.integers(0, 256, (h, w), np.uint8)
+    sx, sy = w / 720.0, h / 540.0
+    calib = CameraCalibration(
+        image_width=w, image_height=h,
+        camera_matrix=(347.5 * sx, 0.0, 342.45 * sx,
+                       0.0, 347.4 * sy, 271.37 * sy, 0.0, 0.0, 1.0),
+        distortion_coefficients=(-0.0396, -0.0037, 0.0039, -0.0018),
+        distortion_model="equidistant", calibration_available=True)
+    cfg0 = PipelineConfig()
+    cfg = PipelineConfig(
+        gamma_correction=dataclasses.replace(
+            cfg0.gamma_correction, enabled=True, k=0.9),
+        vignetting_correction=dataclasses.replace(
+            cfg0.vignetting_correction, enabled=True, scale=1.5,
+            a2=1e-3, a4=1e-6),
+        color_enhancer=dataclasses.replace(
+            cfg0.color_enhancer, enabled=True, saturation_gain=1.2),
+        undistortion=dataclasses.replace(
+            cfg0.undistortion, enabled=True, balance=0.0, fov_scale=1.0),
+        calibration=calib)
+    pipe = build_pipeline(cfg, "bayer_gbrg8", frame_hw=(h, w))
+    out, _ = pipe(bay[None])
+    got = np.asarray(out["processed"])[0]
+
+    img = cv2.demosaicing(bay, cv2.COLOR_BayerGB2BGR)
+    img = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+    img = cv2.LUT(img, build_gamma_lut(0.9))
+    mask = build_vignetting_mask(h, w, 1.5, 1e-3, 1e-6)
+    lab = cv2.cvtColor(img, cv2.COLOR_BGR2Lab)
+    L = lab[..., 0].astype(np.float32) * mask
+    lab[..., 0] = np.clip(np.rint(L), 0, 255).astype(np.uint8)
+    img = cv2.cvtColor(lab, cv2.COLOR_Lab2BGR)
+    hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+    hsv = cv2.multiply(hsv, (1.0, 1.2, 1.0, 0))
+    img = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+    newK = cv2.fisheye.estimateNewCameraMatrixForUndistortRectify(
+        calib.K(), calib.D(), (w, h), calib.R(), balance=0.0,
+        new_size=(w, h), fov_scale=1.0)
+    mx, my = cv2.fisheye.initUndistortRectifyMap(
+        calib.K(), calib.D(), calib.R(), newK, (w, h), cv2.CV_32F)
+    golden = cv2.remap(img, mx, my, cv2.INTER_LINEAR,
+                       borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    np.testing.assert_array_equal(got, golden)
