@@ -149,6 +149,18 @@ def cv2_golden(bayer, config: PipelineConfig):
 def test_random_config_full_chain(bayer, seed):
     rng = np.random.default_rng(seed)
     config = draw_config(rng)
+    # two seeds run on an ODD-cropped frame (539x719): exercises the xla
+    # debayer fallback, the enhancer's scalar column tail, the odd-size
+    # fisheye init (round-5 bug class) and the CCC upsample fallback —
+    # with a matching odd calibration so undistortion can run
+    if seed in (2, 5):
+        bayer = np.ascontiguousarray(bayer[:539, :719])
+        c = config.calibration
+        k = list(c.camera_matrix)
+        import dataclasses as _dc
+        config = config.replace(calibration=_dc.replace(
+            c, image_width=719, image_height=539,
+            camera_matrix=tuple(k)))
     pipe = build_pipeline(config, "bayer_gbrg8", frame_hw=bayer.shape)
     out, _ = pipe(bayer[None])
     got = np.asarray(out["processed"])[0]
