@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from raw_image_pipeline_tpu.ops.common import fma_f32, round_u8
+from raw_image_pipeline_tpu.ops.common import fma_f32, round_u8, seal_f32
 
 
 def _channel_hists(image: jax.Array) -> jax.Array:
@@ -421,16 +421,31 @@ def balance_white_pca(image: jax.Array) -> jax.Array:
         return s2, s, m * m, m                      # m2 = m^2 exact
 
     def solve(c):
-        # Eigen compute_inverse_size2 orderings, verified vs the oracle
+        # Eigen compute_inverse_size2 orderings, verified vs the oracle.
+        # Every mul feeding an add/sub is SEALED (ops/common.seal_f32):
+        # XLA:CPU's LLVM backend contracts e.g. i00*sg + i01*mg into an
+        # fma whose single rounding flips x0/x1 by one ulp vs Eigen's
+        # plain chain — found by the round-5 extended fuzz as a 1-LSB
+        # output divergence at two LUT entries on a real frame (the
+        # eager/oracle bits were 0x...46/0x...6c, the jitted ones one ulp
+        # below). No measurable TPU cost (no contraction there).
         s2, s, m2, m = reductions(c)
-        det = s2 * m - s * m2
+        # runtime zero the compiler cannot fold: every pca input is
+        # integer-derived, so (x != x) zeros are PROVABLY false to LLVM
+        # (uitofp never yields NaN) and such a seal dissolves — but it
+        # cannot prove 1/x finite (x==0 gives inf, inf-inf NaN), so
+        # q - q below survives as an unprovable runtime zero. det==0
+        # (a constant channel) is the reference's own UB, see docstring.
+        q = f32(1.0) / (s2 * m - s * m2)
+        rt0 = jax.lax.bitcast_convert_type(q - q, jnp.int32)
+        det = seal_f32(s2 * m, rt0) - seal_f32(s * m2, rt0)
         invdet = f32(1.0) / det
         i00 = m * invdet
         i01 = -(s * invdet)
         i10 = -(m2 * invdet)
         i11 = s2 * invdet
-        x0 = i00 * sg + i01 * mg
-        x1 = i10 * sg + i11 * mg
+        x0 = seal_f32(i00 * sg, rt0) + seal_f32(i01 * mg, rt0)
+        x1 = seal_f32(i10 * sg, rt0) + seal_f32(i11 * mg, rt0)
         return x0, x1
 
     sg = jnp.sum(g.astype(u32), axis=(-2, -1)).astype(f32)

@@ -70,6 +70,48 @@ def draw_config(rng) -> PipelineConfig:
     )
 
 
+
+
+def pca_golden(img):
+    """Reference PCA semantics (white_balance.cpp:73-136) mirrored in
+    numpy at the arithmetic level the native pca_oracle pinned: exact
+    channel sums narrowed to f32, Eigen compute_inverse_size2 op order in
+    f32, per-pixel lut[c] = cvRound(min(rn_f32(x0*c^2 + x1*c), 255)).
+    The old f64 np.linalg.solve proxy diverges from the f32 Eigen solve
+    at some frame statistics (extended-fuzz seed 140, max 4 LSB)."""
+    f32, f64 = np.float32, np.float64
+    v = img.astype(np.int64)
+    g = v[..., 1]
+    sg = f32(g.sum())
+    mg = f32(g.max())
+
+    def coeffs(c):
+        s2 = f32(f64((c * c).sum()))
+        s = f32(c.sum())
+        m = f32(c.max())
+        m2 = f32(m) * f32(m)
+        det = f32(s2 * m) - f32(s * m2)
+        invdet = f32(1.0) / det
+        i00 = f32(m * invdet)
+        i01 = -f32(s * invdet)
+        i10 = -f32(m2 * invdet)
+        i11 = f32(s2 * invdet)
+        x0 = f32(i00 * sg) + f32(i01 * mg)
+        x1 = f32(i10 * sg) + f32(i11 * mg)
+        return f64(x0), f64(x1)
+
+    out = img.copy()
+    cc = np.arange(256, dtype=np.float64)
+    for ci in (0, 2):
+        x0, x1 = coeffs(v[..., ci])
+        vals = (x0 * cc * cc + x1 * cc).astype(f32)  # rn_f32 of exact
+        lut = np.clip(
+            np.rint(np.minimum(vals.astype(f64), 255.0)), 0, 255
+        ).astype(np.uint8)
+        out[..., ci] = lut[img[..., ci]]
+    return out
+
+
 def cv2_golden(bayer, config: PipelineConfig):
     img = cv2.demosaicing(bayer, cv2.COLOR_BayerGB2BGR)
     img = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
@@ -83,20 +125,12 @@ def cv2_golden(bayer, config: PipelineConfig):
             img = cv2.flip(cv2.transpose(img), 0)
     wb = config.white_balance
     if wb.enabled:
-        b, g, r = [img[..., c].astype(np.float64) for c in range(3)]
         if wb.method == "grey_world":
             from util_wb import xphoto_grey_world
 
             img = xphoto_grey_world(img, wb.saturation_bright_thr)
         elif wb.method == "pca":
-            def pca(c):
-                c2 = c * c
-                A = np.array([[c2.sum(), c.sum()], [c2.max(), c.max()]])
-                x = np.linalg.solve(A, np.array([g.sum(), g.max()]))
-                return np.clip(np.rint(np.minimum(x[0] * c2 + x[1] * c, 255.0)),
-                               0, 255).astype(np.uint8)
-
-            img = np.stack([pca(b), img[..., 1], pca(r)], -1)
+            img = pca_golden(img)
     cc = config.color_calibration
     if cc.enabled:
         # cv2.gemm, NOT numpy BLAS: numpy's fma-based sgemm differs from
