@@ -101,7 +101,14 @@ def seal_f32(v, rt_zero_i32):
     survives (see ops/color_calibration.py, where the trick originated).
 
     rt_zero_i32: an int32 zero derived from runtime data, e.g.
-    (x != x).astype(int32) for a known-non-NaN x.
+    (x != x).astype(int32) for a known-non-NaN x. CAUTION (round-5
+    lesson): the zero must be UNPROVABLE to the compiler. If x is
+    integer-derived inside the same program (uitofp never yields NaN),
+    LLVM folds (x != x) to false, the xor dissolves, and the seal
+    silently stops working — the PCA solve shipped that way for four
+    rounds. Derive the zero from a function argument (whose NaN-ness is
+    unknowable, as color_calibration does) or from a value that CAN be
+    non-finite at runtime, e.g. q - q with q = 1.0/some_runtime_value.
     """
     import jax
 
