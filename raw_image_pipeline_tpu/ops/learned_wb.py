@@ -13,13 +13,22 @@ implements the full algorithm with that exact model:
     on the reference fixtures (tests/test_learned_wb.py):
       f0: chromaticity of the average (v/255-normalized) unsaturated color;
       f1: chromaticity of the brightest unsaturated pixel (max B+G+R,
-          first occurrence in scan order);
+          LAST occurrence in scan order — the library updates on >=);
       f2: chromaticity of the dominant bin of a 64^3 histogram over
           [0, max(64, max_pixel_value)) of unsaturated pixels (argmax,
           first in (B,G,R)-scan order), computed from BIN INDICES;
       f3: mode of the top-300-bin color palette under an unweighted
           Epanechnikov KDE with bandwidth 0.1 (ties: first in palette
-          order = stable (count desc, bin asc));
+          order). CAVEAT: which bins survive the top-300 cut among
+          EQUAL-COUNT bins follows the library's std::sort order, which
+          is unspecified and input-dependent (empirically: a crafted
+          all-tied palette matched stable-ascending, but a 159x713
+          natural crop matched descending, and no channel-major stable
+          order explains both). We use the deterministic
+          (count desc, bin asc) rule; when the library's unstable order
+          admits different members at the cutoff, the KDE mode — and
+          hence the gains — can shift (measured: 1 of 20 random fixture
+          crops, <=7 LSB output);
     every chromaticity is (r, g) = (R, G)/(B+G+R + 1e-5);
   * inference: per tree-set, predict (u, v) per feature; a set reaches
     consensus when >2 of the 6 pairwise distances among its 4 predictions
@@ -151,9 +160,13 @@ def _extract_features(image: jax.Array, thresh255: int) -> jax.Array:
     mr = jnp.sum(jnp.where(keep, R, 0)).astype(f32) * inv255 / n
     f0 = _chroma(mr, mg, mb)
 
-    # f1: brightest unsaturated pixel (first max of B+G+R in scan order)
+    # f1: brightest unsaturated pixel — the library's scan updates on
+    # `>=`, so ties resolve to the LAST max in scan order (round-5
+    # finding: a 49x550 crop had two pixels at the max sum and the
+    # first-occurrence argmax picked the wrong one, skewing the trees'
+    # gains by up to 6 LSB of output)
     sums = jnp.where(keep, B + G + R, -1).reshape(-1)
-    bi = jnp.argmax(sums)
+    bi = (sums.shape[0] - 1) - jnp.argmax(sums[::-1])
     fb = B.reshape(-1)[bi].astype(f32)
     fg = G.reshape(-1)[bi].astype(f32)
     fr = R.reshape(-1)[bi].astype(f32)
