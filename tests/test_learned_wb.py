@@ -82,3 +82,21 @@ def test_learned_wb_batched_consistency():
     out = np.asarray(balance_white_learned_model(batch, 0.8))
     solo = [np.asarray(balance_white_learned_model(b, 0.8)) for b in batch]
     np.testing.assert_array_equal(out, np.stack(solo))
+
+
+def test_learned_brightest_tie_break_regression():
+    """Round-5 fix: the library's brightest-pixel scan updates on >=, so
+    ties at the max B+G+R resolve to the LAST pixel in scan order. This
+    49x550 crop has two max-sum pixels and diverged by up to 6 LSB under
+    the old first-occurrence argmax. Golden generated with the live
+    native xphoto oracle."""
+    import cv2
+    import numpy as np
+
+    from raw_image_pipeline_tpu.ops.white_balance import balance_white_learned
+
+    full = cv2.imread(os.path.join(HERE, "fixtures", "alphasense.png"))
+    img = np.ascontiguousarray(full[:49, :550])
+    ref = cv2.imread(os.path.join(FIX, "alphasense_crop49x550_learned_0.9.png"))
+    out = np.asarray(balance_white_learned(np.asarray(img)[None], 0.9))[0]
+    np.testing.assert_array_equal(out, ref)
