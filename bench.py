@@ -172,7 +172,10 @@ def tpu_fps(h=1080, w=1920, batches=(16, 64, 128), tag="tpu full chain"):
     np.asarray(stream(big))
     t_stream = steady_per_frame(lambda: stream(big), 1)
     big.delete()
-    hbm_gbps = 0.5 / t_stream if t_stream > 0 else float("inf")
+    # 0.0 = measurement failed (jittery differencing can go <= 0, same as
+    # the null_pd floor above); never inf — json.dumps would emit the
+    # non-standard Infinity token and corrupt the one-JSON-line contract
+    hbm_gbps = 0.5 / t_stream if t_stream > 1e-6 else 0.0
     log(f"{tag} HBM-stream canary: {hbm_gbps:.0f} GB/s "
         f"({'idle-chip range' if hbm_gbps > 400 else 'CONTENDED window'})")
     log(f"{tag} steady-state: {1/spf:.1f} frames/s "

@@ -167,9 +167,15 @@ def _extract_features(image: jax.Array, thresh255: int) -> jax.Array:
     # gains by up to 6 LSB of output)
     sums = jnp.where(keep, B + G + R, -1).reshape(-1)
     bi = (sums.shape[0] - 1) - jnp.argmax(sums[::-1])
-    fb = B.reshape(-1)[bi].astype(f32)
-    fg = G.reshape(-1)[bi].astype(f32)
-    fr = R.reshape(-1)[bi].astype(f32)
+    # fully-saturated frames keep NO pixel: the library's scan never
+    # updates and f1 stays at its zero init (oracle-verified); without
+    # the guard the reversed argmax would read a saturated pixel. (The
+    # library's f0 is 0/0 = NaN there — degenerate UB we replace with
+    # zero features rather than NaN-feeding the trees.)
+    any_kept = sums[bi] >= 0
+    fb = jnp.where(any_kept, B.reshape(-1)[bi], 0).astype(f32)
+    fg = jnp.where(any_kept, G.reshape(-1)[bi], 0).astype(f32)
+    fr = jnp.where(any_kept, R.reshape(-1)[bi], 0).astype(f32)
     f1 = _chroma(fr, fg, fb)
 
     # 64^3 histogram over [0, max(64, maxval)) of kept pixels (bin ids via

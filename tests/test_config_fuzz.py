@@ -19,15 +19,21 @@ from raw_image_pipeline_tpu.ops.vignetting import build_vignetting_mask
 from raw_image_pipeline_tpu.pipeline import build_pipeline
 
 
-@pytest.fixture(scope="module")
-def bayer():
-    img = cv2.imread("tests/fixtures/alphasense.png")
+def mosaic_gbrg(img):
+    """Mosaic a BGR image to a bayer_gbrg8 frame (the empirically
+    verified 'grbg' physical phase for OpenCV's gb code — shared helper
+    for the tests that used to duplicate this snippet)."""
     ch = {"g": 1, "b": 0, "r": 2}
     phase = "grbg"
     b = np.zeros(img.shape[:2], np.uint8)
     for k, (di, dj) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
         b[di::2, dj::2] = img[di::2, dj::2, ch[phase[k]]]
     return b
+
+
+@pytest.fixture(scope="module")
+def bayer():
+    return mosaic_gbrg(cv2.imread("tests/fixtures/alphasense.png"))
 
 
 def draw_config(rng) -> PipelineConfig:
@@ -100,14 +106,39 @@ def pca_golden(img):
         x1 = f32(i10 * sg) + f32(i11 * mg)
         return f64(x0), f64(x1)
 
+    def rn_f32_exact(frac):
+        # correctly-rounded f32 of an exact rational (the f64-then-f32
+        # shortcut double-rounds at f32 halfway points — exactly the
+        # boundary class the exact-limb pipeline LUT gets right)
+        from fractions import Fraction
+
+        c0 = np.float32(float(frac))
+        cands = sorted({
+            np.nextafter(c0, np.float32(-np.inf), dtype=np.float32),
+            c0,
+            np.nextafter(c0, np.float32(np.inf), dtype=np.float32),
+        })
+        errs = [abs(Fraction(float(c)) - frac) for c in cands]
+        e = min(errs)
+        tied = [c for c, er in zip(cands, errs) if er == e]
+        if len(tied) == 1:
+            return tied[0]
+        # half-even tie
+        for c in tied:
+            if int(np.float32(c).view(np.uint32)) % 2 == 0:
+                return c
+        return tied[0]
+
+    from fractions import Fraction
+
     out = img.copy()
-    cc = np.arange(256, dtype=np.float64)
     for ci in (0, 2):
         x0, x1 = coeffs(v[..., ci])
-        vals = (x0 * cc * cc + x1 * cc).astype(f32)  # rn_f32 of exact
-        lut = np.clip(
-            np.rint(np.minimum(vals.astype(f64), 255.0)), 0, 255
-        ).astype(np.uint8)
+        fx0, fx1 = Fraction(x0), Fraction(x1)
+        lut = np.empty(256, np.uint8)
+        for c in range(256):
+            val = rn_f32_exact(fx0 * c * c + fx1 * c)
+            lut[c] = np.clip(np.rint(min(np.float64(val), 255.0)), 0, 255)
         out[..., ci] = lut[img[..., ci]]
     return out
 
@@ -189,12 +220,10 @@ def test_random_config_full_chain(bayer, seed):
     # with a matching odd calibration so undistortion can run
     if seed in (2, 5):
         bayer = np.ascontiguousarray(bayer[:539, :719])
-        c = config.calibration
-        k = list(c.camera_matrix)
-        import dataclasses as _dc
-        config = config.replace(calibration=_dc.replace(
-            c, image_width=719, image_height=539,
-            camera_matrix=tuple(k)))
+        # only the calibration SIZE changes (intrinsics keep the
+        # full-frame values — the crop shares the same optical center)
+        config = config.replace(calibration=dataclasses.replace(
+            config.calibration, image_width=719, image_height=539))
     pipe = build_pipeline(config, "bayer_gbrg8", frame_hw=bayer.shape)
     out, _ = pipe(bayer[None])
     got = np.asarray(out["processed"])[0]

@@ -125,12 +125,11 @@ def test_remap_precompute_concentrates_oob_indices():
 
 
 @pytest.mark.parametrize("mode_env", ["lerp", "fixed32", "float"])
-def test_remap_camera_blocked_matches_per_camera(mode_env, monkeypatch):
+def test_remap_camera_blocked_matches_per_camera(mode_env):
     # the camera-blocked gather (stacked base/weights, row-concatenated
     # packs) must equal independent per-camera remaps for all three entry
     # layouts: planes, batch-minor packed, batch-major packed — in every
     # remap arithmetic mode
-    monkeypatch.setenv("REMAP_MODE_UNDER_TEST", mode_env)
     import jax.numpy as jnp
     from raw_image_pipeline_tpu.ops.undistortion import (
         remap_bilinear_u8,
@@ -143,8 +142,7 @@ def test_remap_camera_blocked_matches_per_camera(mode_env, monkeypatch):
     imgs = rng.integers(0, 256, (2, bc, h, w, 3), np.uint8)  # [cam, B, H, W, C]
     # camera-blocked stacking must hold in every remap mode (lerp stacks
     # [C, 6, N] weights, fixed32/float [C, 4, N])
-    import os
-    mode = os.environ.get("REMAP_MODE_UNDER_TEST", "lerp")
+    mode = mode_env
     bases, weightss = [], []
     for cam in range(2):
         mx = rng.uniform(-2, w + 1, (h, w)).astype(np.float32)
