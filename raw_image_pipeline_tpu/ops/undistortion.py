@@ -32,6 +32,7 @@ string except "none" (undistortion.cpp:199-220, SURVEY.md §8.8).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Tuple
 
@@ -51,26 +52,50 @@ def fisheye_undistort_points(pts: np.ndarray, K: np.ndarray, D: np.ndarray, R: n
     """cv::fisheye::undistortPoints: pts [N,2] pixel coords -> normalized,
     rectified image coords [N,2]."""
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    R = np.asarray(R, np.float64)
     out = np.empty_like(pts, dtype=np.float64)
     for n, (u, v) in enumerate(np.asarray(pts, dtype=np.float64)):
         pwx, pwy = (u - cx) / fx, (v - cy) / fy
         theta_d = np.sqrt(pwx * pwx + pwy * pwy)
-        theta_d = min(max(theta_d, -np.pi / 2), np.pi / 2)
-        scale = 1.0
-        if theta_d > 1e-8:
-            theta = theta_d
+        theta_d = min(max(-np.pi / 2, theta_d), np.pi / 2)
+        converged = False
+        theta = theta_d
+        scale = 0.0
+        if abs(theta_d) > 1e-8:
+            # Newton solve, op-for-op the library's: the k_i*theta^2i
+            # products are formed ONCE and the derivative uses 3*(k0*t2)
+            # etc. — (3*k0)*t2 rounds differently at the last ulp
+            # (random-intrinsics fuzz, round 5)
             for _ in range(10):
                 t2 = theta * theta
                 t4, t6, t8 = t2 * t2, t2 * t2 * t2, t2 * t2 * t2 * t2
-                num = theta * (1 + D[0] * t2 + D[1] * t4 + D[2] * t6 + D[3] * t8) - theta_d
-                den = 1 + 3 * D[0] * t2 + 5 * D[1] * t4 + 7 * D[2] * t6 + 9 * D[3] * t8
-                fix = num / den
+                k0t2, k1t4, k2t6, k3t8 = D[0] * t2, D[1] * t4, D[2] * t6, D[3] * t8
+                fix = (theta * (1 + k0t2 + k1t4 + k2t6 + k3t8) - theta_d) / (
+                    1 + 3 * k0t2 + 5 * k1t4 + 7 * k2t6 + 9 * k3t8
+                )
                 theta -= fix
                 if abs(fix) < 1e-8:
+                    converged = True
                     break
-            scale = np.tan(theta) / theta_d
-        vec = R @ np.array([pwx * scale, pwy * scale, 1.0])
-        out[n] = (vec[0] / vec[2], vec[1] / vec[2])
+            # math.tan == libm tan == the library's std::tan; numpy's own
+            # SIMD f64 tan is 1 ulp off at some arguments (seed-95 fuzz)
+            scale = math.tan(theta) / theta_d
+        else:
+            converged = True
+            scale = 1.0
+        # theta is monotonic in theta_d: a sign flip means divergence
+        theta_flipped = (theta_d < 0 < theta) or (theta_d > 0 > theta)
+        if converged and not theta_flipped:
+            pux, puy = pwx * scale, pwy * scale
+            # plain left-associated 3x3 matvec (Matx33d*Vec3d), not numpy
+            # dot — BLAS fma/pairwise sums can differ in the last ulp
+            pr = [R[i, 0] * pux + R[i, 1] * puy + R[i, 2] for i in range(3)]
+            out[n] = (pr[0] / pr[2], pr[1] / pr[2])
+        else:
+            # the library marks non-converged points with this sentinel;
+            # estimateNewCameraMatrix... then consumes it as-is, which is
+            # why wildly-distorted calibrations yield degenerate newK
+            out[n] = (-1000000.0, -1000000.0)
     return out
 
 
@@ -124,6 +149,31 @@ def estimate_new_camera_matrix(
     )
 
 
+def _inv3_cv(a: np.ndarray) -> np.ndarray:
+    """3x3 inverse, op-for-op cv::Matx_FastInvOp<double,3> (DECOMP_LU):
+    cofactor-expansion determinant, d = 1/det, each adjugate entry formed
+    as (m1*m2 - m3*m4) * d. Verified bitwise == cv2.invert(DECOMP_LU) on
+    2000 random matrices."""
+    a = np.asarray(a, np.float64)
+    det = (
+        a[0, 0] * (a[1, 1] * a[2, 2] - a[1, 2] * a[2, 1])
+        - a[0, 1] * (a[1, 0] * a[2, 2] - a[1, 2] * a[2, 0])
+        + a[0, 2] * (a[1, 0] * a[2, 1] - a[1, 1] * a[2, 0])
+    )
+    d = 1.0 / det
+    b = np.empty((3, 3), np.float64)
+    b[0, 0] = (a[1, 1] * a[2, 2] - a[1, 2] * a[2, 1]) * d
+    b[0, 1] = (a[0, 2] * a[2, 1] - a[0, 1] * a[2, 2]) * d
+    b[0, 2] = (a[0, 1] * a[1, 2] - a[0, 2] * a[1, 1]) * d
+    b[1, 0] = (a[1, 2] * a[2, 0] - a[1, 0] * a[2, 2]) * d
+    b[1, 1] = (a[0, 0] * a[2, 2] - a[0, 2] * a[2, 0]) * d
+    b[1, 2] = (a[0, 2] * a[1, 0] - a[0, 0] * a[1, 2]) * d
+    b[2, 0] = (a[1, 0] * a[2, 1] - a[1, 1] * a[2, 0]) * d
+    b[2, 1] = (a[0, 1] * a[2, 0] - a[0, 0] * a[2, 1]) * d
+    b[2, 2] = (a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]) * d
+    return b
+
+
 def init_undistort_rectify_map(
     K: np.ndarray,
     D: np.ndarray,
@@ -134,8 +184,18 @@ def init_undistort_rectify_map(
     """cv::fisheye::initUndistortRectifyMap -> (map_x, map_y) float32 [H, W].
     size is (width, height); P may be 3x3 or 3x4 (only P[:3,:3] is used)."""
     w, h = size
-    PR = np.asarray(P, np.float64)[:3, :3] @ np.asarray(R, np.float64)
-    iR = np.linalg.inv(PR)
+    # plain left-associated 3x3 matmul + the library's closed-form
+    # adjugate inverse (cv::Matx_FastInvOp<double,3>, DECOMP_LU) — BLAS
+    # matmul order and LAPACK LU both differ from it in the last f64
+    # ulp, which flips f32 map values at catastrophic-cancellation
+    # pixels (~1 px per 400 random-intrinsics frames; round-5 fuzz,
+    # discriminated LU-vs-SVD empirically over 400 seeds: LU matches)
+    Pm, Rm = np.asarray(P, np.float64)[:3, :3], np.asarray(R, np.float64)
+    PR = np.empty((3, 3), np.float64)
+    for i in range(3):
+        for j in range(3):
+            PR[i, j] = Pm[i, 0] * Rm[0, j] + Pm[i, 1] * Rm[1, j] + Pm[i, 2] * Rm[2, j]
+    iR = _inv3_cv(PR)
 
     # cv2 walks each row INCREMENTALLY (_x starts at i*iR01 + iR02 and
     # accumulates += iR00 per column, fisheye.cpp) — the running-sum
@@ -728,13 +788,18 @@ def remap_bilinear_u8_planes(
 
 
 def remap_bilinear_u8_from_maps(
-    image: jax.Array, map_x: np.ndarray, map_y: np.ndarray
+    image: jax.Array, map_x: np.ndarray, map_y: np.ndarray,
+    mode: str = "lerp",
 ) -> jax.Array:
     """Convenience wrapper taking raw cv2-style float32 maps (host arrays);
     precomputes (base, weights) on the host per call — prefer
-    remap_precompute + remap_bilinear_u8 for repeated use."""
+    remap_precompute + remap_bilinear_u8 for repeated use. mode selects
+    the interpolation arithmetic (see remap_precompute)."""
     h, w = image.shape[-3], image.shape[-2]
-    base, weights = remap_precompute(np.asarray(map_x), np.asarray(map_y), (h, w))
+    base, weights = remap_precompute(
+        np.asarray(map_x), np.asarray(map_y), (h, w), mode=mode
+    )
     return remap_bilinear_u8(
-        image, jnp.asarray(base), jnp.asarray(weights), np.asarray(map_x).shape
+        image, jnp.asarray(base), jnp.asarray(weights),
+        np.asarray(map_x).shape, mode=mode,
     )

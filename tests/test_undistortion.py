@@ -397,3 +397,86 @@ def test_full_chain_bit_exact_odd_frame():
     golden = cv2.remap(img, mx, my, cv2.INTER_LINEAR,
                        borderMode=cv2.BORDER_CONSTANT, borderValue=0)
     np.testing.assert_array_equal(got, golden)
+
+
+def test_fisheye_init_random_intrinsics_exact():
+    """Random K/D/balance/fov/size sweep, newK AND maps bit-exact vs cv2.
+    Pins three round-5 findings a fixed-calibration test can't reach:
+    (1) non-converged undistortPoints get the library's (-1e6,-1e6)
+    sentinel (wild D -> degenerate newK must match cv2's, not a
+    'better' one); (2) the Newton solve's last-ulp op order
+    (3*(k0*t2), libm tan); (3) the iR inverse is the closed-form
+    adjugate (cv::Matx DECOMP_LU), not LAPACK LU — 1-ulp iR diffs flip
+    f32 map values at cancellation pixels (~1 px / 400 frames)."""
+    checked = 0
+    for seed in (3, 95, 103, 129, 202, 229, 343, 0, 7, 11, 17, 23):
+        rng = np.random.default_rng(seed)
+        h = int(rng.integers(40, 800))
+        w = int(rng.integers(40, 1000))
+        fx = float(rng.uniform(0.4, 1.5) * w)
+        fy = float(rng.uniform(0.4, 1.5) * h)
+        cx = float(rng.uniform(0.3, 0.7) * w)
+        cy = float(rng.uniform(0.3, 0.7) * h)
+        Kr = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+        Dr = rng.normal(0, 0.15, 4).astype(np.float64)
+        balance = float(rng.choice([0.0, 0.3, 0.5, 1.0]))
+        fov = float(rng.choice([0.6, 0.8, 1.0, 1.2, 2.0]))
+        try:
+            nk_cv = cv2.fisheye.estimateNewCameraMatrixForUndistortRectify(
+                Kr, Dr.reshape(-1, 1), (w, h), R, balance=balance,
+                new_size=(w, h), fov_scale=fov)
+            mx_cv, my_cv = cv2.fisheye.initUndistortRectifyMap(
+                Kr, Dr.reshape(-1, 1), R, nk_cv, (w, h), cv2.CV_32F)
+        except cv2.error:
+            continue
+        nk = estimate_new_camera_matrix(Kr, Dr, (w, h), R, balance,
+                                        (w, h), fov)
+        if np.isnan(nk_cv).any():
+            assert (np.isnan(nk) == np.isnan(nk_cv)).all(), seed
+            continue
+        np.testing.assert_array_equal(nk, nk_cv, err_msg=f"seed {seed}")
+        mx, my = init_undistort_rectify_map(Kr, Dr, R, nk, (w, h))
+        np.testing.assert_array_equal(mx, mx_cv, err_msg=f"seed {seed}")
+        np.testing.assert_array_equal(my, my_cv, err_msg=f"seed {seed}")
+        checked += 1
+    assert checked >= 8
+
+
+@pytest.mark.parametrize("mode", ["lerp", "fixed32"])
+def test_remap_hostile_random_maps_exact(mode):
+    """Random (non-smooth) maps with mixed in-range / boundary / far-OOB
+    coordinates, bit-exact vs cv2.remap in both arithmetics — fisheye maps
+    are smooth, so only hostile maps stress the border masks, the margin-
+    baked base and the int16 saturation of the fixed-point path. Also
+    drives remap_bilinear_u8_from_maps's mode threading (round-5 fix)."""
+    import jax.numpy as jnp
+
+    from raw_image_pipeline_tpu.ops.undistortion import (
+        remap_bilinear_u8_from_maps,
+    )
+
+    for seed in (0, 1, 2, 3):
+        rng = np.random.default_rng(seed)
+        sh, sw = int(rng.integers(8, 120)), int(rng.integers(8, 120))
+        dh, dw = int(rng.integers(8, 120)), int(rng.integers(8, 120))
+        img = rng.integers(0, 256, (sh, sw, 3), np.uint8)
+        if seed == 1:  # far OOB (int16 saturation territory)
+            mx = rng.uniform(-1e5, 1e5, (dh, dw)).astype(np.float32)
+            my = rng.uniform(-1e5, 1e5, (dh, dw)).astype(np.float32)
+        elif seed == 2:  # exact integer/half coords (boundary class)
+            mx = (rng.integers(-2, 2 * sw + 4, (dh, dw)) / 2.0).astype(np.float32)
+            my = (rng.integers(-2, 2 * sh + 4, (dh, dw)) / 2.0).astype(np.float32)
+        else:
+            mx = rng.uniform(-3, sw + 3, (dh, dw)).astype(np.float32)
+            my = rng.uniform(-3, sh + 3, (dh, dw)).astype(np.float32)
+        if mode == "fixed32":
+            m1, m2 = cv2.convertMaps(mx, my, cv2.CV_16SC2)
+            golden = cv2.remap(img, m1, m2, cv2.INTER_LINEAR,
+                               borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+        else:
+            golden = cv2.remap(img, mx, my, cv2.INTER_LINEAR,
+                               borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+        got = np.asarray(
+            remap_bilinear_u8_from_maps(jnp.asarray(img[None]), mx, my,
+                                        mode=mode))[0]
+        np.testing.assert_array_equal(got, golden, err_msg=f"seed {seed}")
