@@ -414,8 +414,10 @@ def gains_from_offsets(lu: float, lv: float, uv0: float = UV0) -> jax.Array:
     Lu = lu - uv0, Lv = lv - uv0, then the same gain math as gains_from_uv."""
     Lu = lu - uv0
     Lv = lv - uv0
-    gain_r = float(np.exp(Lu))
-    gain_b = float(np.exp(Lv))
+    import math
+
+    gain_r = math.exp(Lu)  # libm exp = the reference's std::exp
+    gain_b = math.exp(Lv)
     gains = np.array([gain_b, 1.0, gain_r], np.float32)
     return jnp.asarray(gains / gains.min())
 

@@ -14,6 +14,8 @@ recompiles.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,7 +32,10 @@ def build_gamma_lut(k: float) -> np.ndarray:
     """256-entry uint8 LUT, replicating the reference's float arithmetic:
     f = (float)(i/255.0); f = pow(f, k); lut[i] = cvRound(f * 255.0)."""
     i = np.arange(256, dtype=np.float64) / 255.0
-    f = np.power(i, k).astype(np.float32)  # double pow assigned to float
+    # libm pow (= the reference's std::pow), not np.power: numpy's SIMD
+    # f64 pow can differ in the last ulp (no u8-visible case found over a
+    # 441-value k sweep, but 256 scalar calls make the class impossible)
+    f = np.array([math.pow(v, k) for v in i], np.float64).astype(np.float32)
     vals = np.rint(f.astype(np.float64) * 255.0)
     return np.clip(vals, 0, 255).astype(np.uint8)
 
@@ -148,9 +153,9 @@ def gamma_apply_poly(image: jax.Array, coeffs: jax.Array,
 def build_bt709_lut(forward: bool) -> np.ndarray:
     x = np.arange(256, dtype=np.float64) / 255.0
     if forward:
-        y = np.where(x < 0.018, 4.5 * x, 1.099 * np.power(x, 0.45) - 0.099)
+        y = np.where(x < 0.018, 4.5 * x, np.array([1.099 * math.pow(v, 0.45) for v in x]) - 0.099)
     else:
-        y = np.where(x < 0.081, x / 4.5, np.power((x + 0.099) / 1.099, 1.0 / 0.45))
+        y = np.where(x < 0.081, x / 4.5, np.array([math.pow((v + 0.099) / 1.099, 1.0 / 0.45) for v in x]))
     return np.clip(np.rint(y * 255.0), 0, 255).astype(np.uint8)
 
 
@@ -160,12 +165,12 @@ _bt_i = np.arange(256, dtype=np.float64)
 _bt_sel_f = _bt_i / 255.0 >= 0.018
 _BT709_FWD_POLY = fit_branch_poly(
     256, _bt_i[_bt_sel_f],
-    255.0 * (1.099 * np.power(_bt_i[_bt_sel_f] / 255.0, 0.45) - 0.099),
+    255.0 * (1.099 * np.array([math.pow(v, 0.45) for v in _bt_i[_bt_sel_f] / 255.0]) - 0.099),
 )
 _bt_sel_i = _bt_i / 255.0 >= 0.081
 _BT709_INV_POLY = fit_branch_poly(
     256, _bt_i[_bt_sel_i],
-    255.0 * np.power((_bt_i[_bt_sel_i] / 255.0 + 0.099) / 1.099, 1.0 / 0.45),
+    255.0 * np.array([math.pow(v, 1.0 / 0.45) for v in (_bt_i[_bt_sel_i] / 255.0 + 0.099) / 1.099]),
 )
 del _bt_i, _bt_sel_f, _bt_sel_i
 

@@ -215,7 +215,10 @@ def init_undistort_rectify_map(
     x = _x / _w
     y = _y / _w
     r = np.sqrt(x * x + y * y)
-    theta = np.arctan(r)
+    # elementwise libm atan (= the library's std::atan): numpy's SIMD f64
+    # arctan is 1 ulp off at ~0.15% of arguments (round-5 probe), a latent
+    # f32 flip at cancellation pixels; ~0.23 s/Mpx, init-time only
+    theta = np.frompyfunc(math.atan, 1, 1)(r).astype(np.float64)
     # the power chain must match cv2's double arithmetic op-for-op
     # (theta6 = theta4*theta2 etc. — np.power(t2, 3) rounds differently
     # at ~1-ulp boundaries; round-5 finding on synthetic intrinsics)
