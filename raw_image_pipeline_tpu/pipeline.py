@@ -52,6 +52,7 @@ from raw_image_pipeline_tpu.ops.color_calibration import (
 from raw_image_pipeline_tpu.ops.color_enhancer import (
     enhance_packed,
     enhance_planes,
+    gain_corrections,
 )
 from raw_image_pipeline_tpu.ops.debayer import (
     BAYER_ENCODINGS,
@@ -118,6 +119,10 @@ class IspParams:
     vig_gamma_corr_idx: jax.Array  # [GAMMA_MAX_CORR] i32
     vig_gamma_corr_val: jax.Array  # [GAMMA_MAX_CORR] i32
     enhancer_gains: jax.Array  # [3] f32 (H,S,V)
+    # cv::multiply f64-rounding corrections for the enhancer's f32 gain
+    # multiply (ops/color_enhancer.gain_corrections); idx padded with -1
+    enhancer_corr_idx: jax.Array  # [3, GAIN_CORR_SLOTS] i32
+    enhancer_corr_val: jax.Array  # [3, GAIN_CORR_SLOTS] i32
     vignetting_mask: jax.Array  # [H,W] f32 (post-flip dims) or scalar 0 if unused
     # undistortion remap, precomputed from the fisheye maps at init
     # (ops/undistortion.remap_precompute); scalar 0 when unused. The
@@ -333,6 +338,9 @@ def make_params(
             )
 
     ce = config.color_enhancer
+    ce_idx, ce_val = gain_corrections(
+        [ce.hue_gain, ce.saturation_gain, ce.value_gain]
+    )
     return IspParams(
         color_matrix=jnp.asarray(config.color_calibration.matrix_np(), jnp.float32).reshape(3, 3),
         color_bias=jnp.asarray(config.color_calibration.bias_np(), jnp.float32),
@@ -345,6 +353,8 @@ def make_params(
         enhancer_gains=jnp.asarray(
             [ce.hue_gain, ce.saturation_gain, ce.value_gain], jnp.float32
         ),
+        enhancer_corr_idx=jnp.asarray(ce_idx),
+        enhancer_corr_val=jnp.asarray(ce_val),
         vignetting_mask=mask,
         remap_base=remap_base,
         remap_weights=remap_weights,
@@ -749,15 +759,16 @@ def make_isp_fn(
         # column; ops/color_enhancer) depends on the internal layout.
         with jax.named_scope("isp_color_enhancer"):
             if config.color_enhancer.enabled and is_color:
+                ce_corr = (params.enhancer_corr_idx, params.enhancer_corr_val)
                 if planar:
                     planes = enhance_planes(
                         *planes, params.enhancer_gains,
-                        w_axis=1 if batch_minor else -1,
+                        w_axis=1 if batch_minor else -1, corr=ce_corr,
                     )
                 else:
                     img = enhance_packed(
                         img, params.enhancer_gains,
-                        w_axis=1 if batch_minor else -2,
+                        w_axis=1 if batch_minor else -2, corr=ce_corr,
                     )
         dump("06_color_enhancer", img)
 

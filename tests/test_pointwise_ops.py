@@ -456,3 +456,26 @@ def test_composed_pipeline_matches_two_stage():
             np.asarray(o1["processed"]), np.asarray(o2["processed"]),
             err_msg=f"k={k}",
         )
+
+
+def test_enhancer_extreme_gains_exact():
+    """cv::multiply(u8, Scalar) forms products in f64 and cvRounds; the
+    device's f32 multiply disagrees at up to 6 channel values for ~0.06%
+    of gains (round-5 extreme fuzz: 20/60 chain seeds failed before the
+    fix). gain_corrections patches those entries as runtime params."""
+    import jax.numpy as jnp
+
+    from raw_image_pipeline_tpu.ops.color_enhancer import enhance
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 150, 3), np.uint8)
+    cases = [(2.9, 2.9, 0.7), (0.0, 0.1, 0.7), (1.0, 0.1, 0.7),
+             (0.5, 0.0, 2.9), (2.2999999836787066, 1.0, 1.0)]
+    for seed in range(6):
+        cases.append(tuple(np.random.default_rng(seed + 999).uniform(0, 3, 3)))
+    for hg, sg, vg in cases:
+        hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+        ref = cv2.cvtColor(cv2.multiply(hsv, (hg, sg, vg, 0)),
+                           cv2.COLOR_HSV2BGR)
+        got = np.asarray(enhance(jnp.asarray(img[None]), [hg, sg, vg]))[0]
+        np.testing.assert_array_equal(got, ref, err_msg=str((hg, sg, vg)))
