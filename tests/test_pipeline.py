@@ -81,7 +81,7 @@ def test_api_default_chain_runs(bayer_frame):
         pipe.get_dist_distortion_coefficients().ravel(),
         (720, 540), np.eye(3), balance=0.0, new_size=(720, 540), fov_scale=0.8,
     )
-    np.testing.assert_allclose(K_rect, ref_K, atol=1e-9)
+    np.testing.assert_array_equal(K_rect, ref_K)  # bit-exact since round 5
 
 
 def test_api_full_chain_vs_cv2_golden(bayer_frame):
@@ -241,8 +241,7 @@ def test_flip90_with_undistortion(bayer_frame):
     )
     golden = cv2.remap(img, mx, my, cv2.INTER_LINEAR,
                        borderMode=cv2.BORDER_CONSTANT, borderValue=0)
-    d = np.abs(out.astype(int) - golden.astype(int))
-    assert d.max() <= 1
+    np.testing.assert_array_equal(out, golden)  # bit-exact since round 5
 
 
 def test_1_6mp_calibration_chain(bayer_frame):
@@ -267,8 +266,7 @@ def test_1_6mp_calibration_chain(bayer_frame):
     )
     golden = cv2.remap(big, mx, my, cv2.INTER_LINEAR,
                        borderMode=cv2.BORDER_CONSTANT, borderValue=0)
-    d = np.abs(out.astype(int) - golden.astype(int))
-    assert d.max() <= 1
+    np.testing.assert_array_equal(out, golden)  # bit-exact since round 5
 
 
 def test_remap_rejects_mismatched_frame_size():

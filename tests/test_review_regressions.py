@@ -47,8 +47,7 @@ def test_mono_with_undistortion_shape_and_values():
     mx, my = init_undistort_rectify_map(c.K(), c.D(), c.R(), newK, (720, 540))
     ref = cv2.remap(mono[0], mx, my, cv2.INTER_LINEAR,
                     borderMode=cv2.BORDER_CONSTANT, borderValue=0)
-    d = np.abs(got[0].astype(int) - ref.astype(int))
-    assert d.max() <= 1
+    np.testing.assert_array_equal(got[0], ref)  # bit-exact since round 5
 
 
 def test_mono_color_stages_skip_cleanly():

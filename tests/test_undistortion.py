@@ -85,7 +85,7 @@ def test_new_image_size_scales_rect_K():
     ref = cv2.fisheye.estimateNewCameraMatrixForUndistortRectify(
         K, D, SIZE, R, balance=0.0, new_size=(1440, 1080), fov_scale=1.0
     )
-    np.testing.assert_allclose(K_rect, ref, atol=1e-9)
+    np.testing.assert_array_equal(K_rect, ref)  # bit-exact since round 5
 
     # output remains at the calibration size
     img = cv2.imread("tests/fixtures/alphasense.png")
@@ -94,8 +94,7 @@ def test_new_image_size_scales_rect_K():
     mx, my = cv2.fisheye.initUndistortRectifyMap(K, D, R, ref, SIZE, cv2.CV_32F)
     golden = cv2.remap(img, mx, my, cv2.INTER_LINEAR,
                        borderMode=cv2.BORDER_CONSTANT, borderValue=0)
-    d = np.abs(out.astype(int) - golden.astype(int))
-    assert d.max() <= 1
+    np.testing.assert_array_equal(out, golden)  # bit-exact since round 5
 
 
 def test_remap_precompute_concentrates_oob_indices():
