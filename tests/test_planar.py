@@ -81,9 +81,14 @@ def test_color_correct_planar_matches_packed(img):
 
 
 def test_enhance_planar_matches_packed(img):
-    gains = jnp.asarray(np.array([1.0, 1.35, 1.0], np.float32))
+    from raw_image_pipeline_tpu.ops.color_enhancer import gain_corrections
+
+    g64 = [1.0, 1.35, 1.0]
+    gains = jnp.asarray(np.array(g64, np.float32))
+    ci, cv_ = (jnp.asarray(a) for a in gain_corrections(g64))
     assert_planes_equal(
-        enhance_planes(*planes_of(img), gains), enhance(jnp.asarray(img), gains)
+        enhance_planes(*planes_of(img), gains, corr=(ci, cv_)),
+        enhance(jnp.asarray(img), g64),
     )
 
 
