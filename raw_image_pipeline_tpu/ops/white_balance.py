@@ -403,9 +403,10 @@ def balance_white_pca(image: jax.Array) -> jax.Array:
     reference-arithmetic derivation and native/oracle/pca_oracle.cpp for
     the pinning oracle. Exact for frames up to 16.8 MP (u32 split sums).
 
-    Degenerate frames where det == 0 (a constant channel) divide by zero
-    exactly as the reference does; the resulting inf/NaN gains are UB
-    there and here alike."""
+    Degenerate frames (det == 0: constant channel) replicate the
+    reference's NaN flow exactly, including the positional minps-vs-scalar
+    THRESH_TRUNC split (255 everywhere, 0 on the last (H*W)%4 pixels) —
+    see the block in the body."""
     f32 = jnp.float32
     u32 = jnp.uint32
     v = image.astype(jnp.int32)
@@ -436,8 +437,16 @@ def balance_white_pca(image: jax.Array) -> jax.Array:
         # cannot prove 1/x finite (x==0 gives inf, inf-inf NaN), so
         # q - q below survives as an unprovable runtime zero. det==0
         # (a constant channel) is the reference's own UB, see docstring.
-        q = f32(1.0) / (s2 * m - s * m2)
-        rt0 = jax.lax.bitcast_convert_type(q - q, jnp.int32)
+        d = s2 * m - s * m2
+        q = f32(1.0) / d
+        # q - q is +0 for every non-degenerate frame but NaN when det==0
+        # (q inf) — which would corrupt the seal's XOR. The where pins the
+        # degenerate case to a true zero so the sealed chain below
+        # honestly produces the reference's inf/NaN flow there; LLVM
+        # still cannot fold the non-degenerate branch (1/d unprovably
+        # finite), so the seal survives.
+        z = jnp.where(jnp.abs(d) < f32(1e-30), f32(0.0), q - q)
+        rt0 = jax.lax.bitcast_convert_type(z, jnp.int32)
         det = seal_f32(s2 * m, rt0) - seal_f32(s * m2, rt0)
         invdet = f32(1.0) / det
         i00 = m * invdet
@@ -450,10 +459,29 @@ def balance_white_pca(image: jax.Array) -> jax.Array:
 
     sg = jnp.sum(g.astype(u32), axis=(-2, -1)).astype(f32)
     mg = jnp.max(g, axis=(-2, -1)).astype(f32)
-    lut_b = _pca_exact_lut(*solve(b))
-    lut_r = _pca_exact_lut(*solve(r))
-    bb = _lut_select_batched(b, lut_b)
-    rr = _lut_select_batched(r, lut_r)
+
+    # Degenerate frames (det==0: a constant channel; or subnormal det):
+    # the reference's solve yields NaN coefficients, its THRESH_TRUNC
+    # min runs 4-wide minps whose NaN result is the SECOND operand (255)
+    # while the scalar tail keeps NaN, and convertTo saturates NaN to 0 —
+    # so a NaN channel becomes 255 everywhere except the last (H*W)%4
+    # pixels, which are 0 (characterized against native/oracle/pca_oracle
+    # at 3x3/5x5/8x8/9x7/16x16; round 5).
+    h_, w_ = image.shape[-3], image.shape[-2]
+    tail = (h_ * w_) % 4
+    flat_pat = np.full(h_ * w_, 255, np.uint8)
+    if tail:
+        flat_pat[-tail:] = 0
+    nan_pattern = jnp.asarray(flat_pat.reshape(h_, w_))
+
+    def corrected(c):
+        x0, x1 = solve(c)
+        out = _lut_select_batched(c, _pca_exact_lut(x0, x1))
+        bad = jnp.isnan(x0) | jnp.isnan(x1)          # per-frame scalar
+        return jnp.where(bad[..., None, None], nan_pattern, out)
+
+    bb = corrected(b)
+    rr = corrected(r)
     return jnp.stack([bb, g.astype(jnp.uint8), rr], axis=-1)
 
 
