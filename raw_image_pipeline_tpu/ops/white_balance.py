@@ -117,7 +117,24 @@ def balance_white_grey_world(image: jax.Array, thresh: float) -> jax.Array:
     mx = jnp.maximum(jnp.maximum(b, g), r)
     mn = jnp.minimum(jnp.minimum(b, g), r)
     t255 = int(np.rint(np.float32(thresh) * 255))  # cvRound at init
-    m = (mx - mn) * 255 <= t255 * mx
+    if t255 <= 257:
+        # t255*mx <= 257*255 < 2^16: the library's u16 SIMD lanes cannot
+        # wrap, one uniform comparison
+        m = (mx - mn) * 255 <= t255 * mx
+    else:
+        # thresh > ~1.008: the library's 16-px SIMD body computes
+        # t255*mx in u16 lanes, which WRAPS for mx >= 65536/t255, while
+        # the scalar tail (the last H*W % 16 pixels) compares in int —
+        # so bright pixels are pseudo-randomly excluded depending on
+        # position (oracle-probed round 5: 720/720 random cases exact
+        # with this rule, width 16 = the oracle build's v_uint8x16)
+        h_, w_ = image.shape[-3], image.shape[-2]
+        n = h_ * w_
+        body = np.zeros(n, bool)
+        body[: (n // 16) * 16] = True
+        body = jnp.asarray(body.reshape(h_, w_))
+        rhs = jnp.where(body, (t255 * mx) & 0xFFFF, t255 * mx)
+        m = (mx - mn) * 255 <= rhs
 
     # uint32 accumulation: exact for frames up to ~16.8 MP (255 * n < 2^32);
     # int32 would wrap above ~8.4 MP
@@ -125,11 +142,19 @@ def balance_white_grey_world(image: jax.Array, thresh: float) -> jax.Array:
     sb = jnp.sum(jnp.where(m, b, 0).astype(u32), axis=(-2, -1))
     sg = jnp.sum(jnp.where(m, g, 0).astype(u32), axis=(-2, -1))
     sr = jnp.sum(jnp.where(m, r, 0).astype(u32), axis=(-2, -1))
-    smin = jnp.minimum(jnp.minimum(sb, sg), sr)
+    # smin over POSITIVE sums only; a zero-sum channel gets gain 0 — the
+    # library blacks it out rather than passing it through (oracle-probed
+    # round 5: an empty saturation mask blacks the WHOLE frame, and a
+    # zero-sum channel doesn't drag smin to 0 for the live channels)
+    big = jnp.uint32(0xFFFFFFFF)
+    smin = jnp.minimum(
+        jnp.minimum(jnp.where(sb > 0, sb, big), jnp.where(sg > 0, sg, big)),
+        jnp.where(sr > 0, sr, big),
+    )
 
     def gain_i(s):
         gi = jnp.rint(smin.astype(f32) / s.astype(f32) * f32(256.0)).astype(i32)
-        return jnp.where(s > 0, gi, 256)
+        return jnp.where(s > 0, gi, 0)
 
     gains = jnp.stack([gain_i(sb), gain_i(sg), gain_i(sr)], axis=-1)
     out = (v * gains[..., None, None, :]) >> 8

@@ -9,12 +9,24 @@ def xphoto_grey_world(img: np.ndarray, thr: float) -> np.ndarray:
     mx = np.maximum(np.maximum(b, g), r)
     mn = np.minimum(np.minimum(b, g), r)
     t255 = int(np.rint(np.float32(thr) * 255))
-    m = (mx - mn) * 255 <= t255 * mx
+    if t255 <= 257:
+        m = (mx - mn) * 255 <= t255 * mx
+    else:
+        # thr > ~1.008: 16-px SIMD body wraps t255*mx in u16, scalar
+        # tail doesn't (oracle-probed; see ops/white_balance.py)
+        n = mx.size
+        flat_rhs = np.where(np.arange(n) < (n // 16) * 16,
+                            (t255 * mx.ravel()) % 65536, t255 * mx.ravel())
+        m = ((mx - mn).ravel() * 255 <= flat_rhs).reshape(mx.shape)
     sb, sg, sr = int(b[m].sum()), int(g[m].sum()), int(r[m].sum())
-    smin = min(sb, sg, sr)
+    # smin over POSITIVE sums only; zero-sum channels get gain 0 (the
+    # library blacks them out — oracle-probed round 5, e.g. an empty
+    # saturation mask blacks the whole frame)
+    pos = [s for s in (sb, sg, sr) if s > 0]
+    smin = min(pos) if pos else 0
     gi = [
         int(np.rint(np.float32(smin) / np.float32(s) * np.float32(256)))
-        if s > 0 else 256
+        if s > 0 else 0
         for s in (sb, sg, sr)
     ]
     out = np.stack(
