@@ -210,8 +210,14 @@ def _extract_features(image: jax.Array, thresh255: int) -> jax.Array:
     f2 = _chroma(dr, dg, db)
 
     # palette: top-300 runs by (count desc, bin id asc) — top_k is stable
-    # on index order and the runs are bin-id-ascending
-    topc, topi = jax.lax.top_k(counts, _PALETTE)
+    # on index order and the runs are bin-id-ascending. Frames under 300
+    # pixels have fewer runs than the palette: take what exists and pad
+    # with zero-count entries (valid=False keeps them inert downstream)
+    k = min(_PALETTE, int(counts.shape[0]))
+    topc, topi = jax.lax.top_k(counts, k)
+    if k < _PALETTE:
+        topc = jnp.pad(topc, (0, _PALETTE - k))
+        topi = jnp.pad(topi, (0, _PALETTE - k))
     pbin = s[topi]
     valid = topc > 0
     pb = (pbin // (_HIST_BINS * _HIST_BINS)).astype(f32)

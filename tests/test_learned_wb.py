@@ -100,3 +100,19 @@ def test_learned_brightest_tie_break_regression():
     ref = cv2.imread(os.path.join(FIX, "alphasense_crop49x550_learned_0.9.png"))
     out = np.asarray(balance_white_learned(np.asarray(img)[None], 0.9))[0]
     np.testing.assert_array_equal(out, ref)
+
+
+def test_learned_small_frame_no_crash():
+    """Frames with fewer pixels than the 300-entry palette used to crash
+    top_k (k > axis size); they now pad with zero-count entries. The
+    library's own f3 on such frames reads UNINITIALIZED memory (denormal
+    garbage observed from the probe binary — nondeterministic), so only
+    shape/stability is asserted here, not oracle equality; f0-f2 remain
+    oracle-exact (round-5 probes)."""
+    rng = np.random.default_rng(5)
+    for shape in ((5, 5, 3), (16, 16, 3), (17, 19, 3)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        out = np.asarray(balance_white_learned_model(img, 0.9))
+        assert out.shape == shape and out.dtype == np.uint8
+        out2 = np.asarray(balance_white_learned_model(img, 0.9))
+        np.testing.assert_array_equal(out, out2)  # deterministic
