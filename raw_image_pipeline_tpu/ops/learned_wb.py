@@ -11,9 +11,13 @@ implements the full algorithm with that exact model:
   * features (Cheng et al., CVPR 2015 "simple features"), semantics
     reverse-engineered against the native library and verified bit-exact
     on the reference fixtures (tests/test_learned_wb.py):
-      f0: chromaticity of the average (v/255-normalized) unsaturated color;
-      f1: chromaticity of the brightest unsaturated pixel (max B+G+R,
-          LAST occurrence in scan order — the library updates on >=);
+      f0: chromaticity of the average unsaturated color — means in
+          DOUBLE (cv::mean), divided by the max mean in double, narrowed
+          to f32 (emulated with sealed double-f32 Dekker arithmetic);
+      f1: chromaticity of the brightest unsaturated pixel (max B+G+R;
+          ties: the library's 8-lane SIMD loop + scalar tail, all
+          first-wins — minimal (flat%8, flat//8) among body pixels,
+          tail only beats strictly);
       f2: chromaticity of the dominant bin of a 64^3 histogram over
           [0, max(64, max_pixel_value)) of unsaturated pixels (argmax,
           first in (B,G,R)-scan order), computed from BIN INDICES;
@@ -29,7 +33,7 @@ implements the full algorithm with that exact model:
           admits different members at the cutoff, the KDE mode — and
           hence the gains — can shift (measured: 1 of 20 random fixture
           crops, <=7 LSB output);
-    every chromaticity is (r, g) = (R, G)/(B+G+R + 1e-5);
+    every chromaticity is (r, g) = (R, G)/(((R+G)+B) + 1e-5);
   * inference: per tree-set, predict (u, v) per feature; a set reaches
     consensus when >2 of the 6 pairwise distances among its 4 predictions
     are < prediction_thresh (0.025); the result is the per-component
@@ -43,10 +47,9 @@ implements the full algorithm with that exact model:
 Saturation mask: pixel kept iff max(B,G,R) < trunc(saturation_thresh *
 range_max_val) (default 0.98*255 -> 249).
 
-Deviation from the native library (documented): channel means for f0 are
-accumulated differently (tree-sum vs the library's SIMD accumulators),
-which can move f0 by ~1e-6 — only visible if a tree threshold falls
-within that margin of the feature value.
+f0-f2 verified bit-exact against the native library over 50 random
+frames (round 5); f3 carries the palette-cut envelope above, plus
+library-side uninitialized reads on frames with <300 color runs.
 """
 
 from __future__ import annotations
@@ -139,7 +142,10 @@ def _predict_illuminant(features_uv: jax.Array) -> jax.Array:
 
 
 def _chroma(r, g, b):
-    s = b + g + r + _EPS
+    # library sum order ((r+g)+b)+eps — only visible for f0, whose inputs
+    # are non-integer f32 (f1-f3 sum exact small integers where order
+    # can't change the rounding); round-5 fit: 20/20 vs 18/20 for (b+g)+r
+    s = r + g + b + _EPS
     return jnp.stack([r / s, g / s]).astype(jnp.float32)
 
 
@@ -153,20 +159,123 @@ def _extract_features(image: jax.Array, thresh255: int) -> jax.Array:
     keep = mx < thresh255
     n = jnp.maximum(keep.sum(), 1)
 
-    # f0: average chromaticity of normalized colors
-    inv255 = f32(1.0 / 255.0)
-    mb = jnp.sum(jnp.where(keep, B, 0)).astype(f32) * inv255 / n
-    mg = jnp.sum(jnp.where(keep, G, 0)).astype(f32) * inv255 / n
-    mr = jnp.sum(jnp.where(keep, R, 0)).astype(f32) * inv255 / n
-    f0 = _chroma(mr, mg, mb)
+    # f0: average chromaticity of normalized colors. The library computes
+    # the channel means in DOUBLE (cv::mean), divides by the max mean in
+    # double, narrows the normalized components to f32 and runs the f32
+    # eps-chroma — reverse-engineered round 5 (20/20 random frames
+    # bit-equal; the max-normalization is also why f0 sits a constant
+    # ~3.4e-6 below an un-normalized chroma: with s ~= 3 the 1e-5 eps
+    # scales differently). The f64 scalar chain is emulated with
+    # double-f32 (Dekker) arithmetic (~2^-46 accuracy vs f64's 2^-52 —
+    # a narrow-boundary flip needs the exact value within 2^-46 of an
+    # f32 rounding boundary, ~2^-22 odds per frame; none seen over the
+    # 130-frame sweep).
+    nf = n.astype(f32)
 
-    # f1: brightest unsaturated pixel — the library's scan updates on
-    # `>=`, so ties resolve to the LAST max in scan order (round-5
-    # finding: a 49x550 crop had two pixels at the max sum and the
-    # first-occurrence argmax picked the wrong one, skewing the trees'
-    # gains by up to 6 LSB of output)
+    # exact channel sums in u32 (exact to 16.8 MP like pca's), lifted to
+    # dd: hi = f32(S) (rounds to <=256 granularity near 2^32), lo = the
+    # small signed remainder recovered through wrapping u32 arithmetic
+    sums_u32 = [jnp.sum(jnp.where(keep, C, 0).astype(jnp.uint32)) for C in (B, G, R)]
+
+    # seal zero for the Dekker arithmetic below: LLVM contracts the
+    # mul+sub chains into fmas, which breaks the exact splits (observed:
+    # 1-ulp f0 flips on ~8% of frames vs the eager/f64 chain). The zero
+    # must be UNPROVABLE (ops/common.seal_f32): 1/sum can be inf (empty
+    # channel), and the where pins that case to a true zero.
+    sb32 = sums_u32[0].astype(f32)
+    qz = f32(1.0) / sb32
+    z = jnp.where(sb32 < f32(0.5), f32(0.0), qz - qz)
+    rt0 = jax.lax.bitcast_convert_type(z, jnp.int32)
+
+    def sl(v):
+        from raw_image_pipeline_tpu.ops.common import seal_f32
+
+        return seal_f32(v, rt0)
+
+    def fma_sealed(a, b, c):
+        # rn(a*b + c), Dekker 2Product + TwoSum with every mul that feeds
+        # an add/sub sealed against contraction
+        C4 = f32(4097.0)
+        ca = sl(a * C4)
+        ahi2 = ca - (ca - a)
+        alo2 = a - ahi2
+        cb = sl(b * C4)
+        bhi2 = cb - (cb - b)
+        blo2 = b - bhi2
+        p = sl(a * b)
+        err = (((sl(ahi2 * bhi2) - p) + sl(ahi2 * blo2)) + sl(alo2 * bhi2)) + sl(
+            alo2 * blo2
+        )
+        s = p + c
+        bb = s - p
+        e2 = (p - (s - bb)) + (c - bb)
+        return s + (e2 + err)
+
+    def dd_div_s(ahi, alo, b):
+        # (ahi+alo)/b to ~2^-46: q0 + correction
+        q0 = ahi / b
+        r = fma_sealed(-q0, b, ahi) + alo  # exact residual of q0*b
+        q1 = r / b
+        return q0, q1
+
+    def dd_div_dd(ahi, alo, bhi, blo):
+        q0 = ahi / bhi
+        r = (fma_sealed(-q0, bhi, ahi) + alo) - sl(q0 * blo)
+        q1 = r / bhi
+        return q0, q1
+
+    def dd_ge(ahi, alo, bhi, blo):
+        return (ahi > bhi) | ((ahi == bhi) & (alo >= blo))
+
+    dd_means = []
+    for si in sums_u32:
+        s32 = si.astype(f32)
+        lo = (si - s32.astype(jnp.uint32)).astype(jnp.int32).astype(f32)
+        dd_means.append(dd_div_s(s32, lo, nf))
+    (mbh, mbl), (mgh, mgl), (mrh, mrl) = dd_means
+    # dd max of the three means
+    m1h, m1l = jnp.where(dd_ge(mbh, mbl, mgh, mgl), mbh, mgh), jnp.where(
+        dd_ge(mbh, mbl, mgh, mgl), mbl, mgl
+    )
+    mmh, mml = jnp.where(dd_ge(m1h, m1l, mrh, mrl), m1h, mrh), jnp.where(
+        dd_ge(m1h, m1l, mrh, mrl), m1l, mrl
+    )
+    zero_mm = mmh <= 0  # all-black kept set: skip normalization
+    mmh = jnp.where(zero_mm, f32(1.0), mmh)
+    mml = jnp.where(zero_mm, f32(0.0), mml)
+
+    def narrow(dd):
+        return dd[0] + dd[1]  # one f32 rounding = the f64->f32 narrow
+
+    nb = narrow(dd_div_dd(mbh, mbl, mmh, mml))
+    ng = narrow(dd_div_dd(mgh, mgl, mmh, mml))
+    nr = narrow(dd_div_dd(mrh, mrl, mmh, mml))
+    f0 = _chroma(nr, ng, nb)
+
+    # f1: brightest unsaturated pixel. The library's max scan is an
+    # 8-lane SIMD loop over the flattened frame with a scalar tail, all
+    # first-wins (`>`): per lane the FIRST block keeps the max, the
+    # horizontal reduce scans lanes 0..7 in order, and tail pixels only
+    # beat strictly. Net tie-break among max-sum pixels: minimal
+    # (lane = flat%8, block = flat//8) for body pixels, then tail by
+    # position (reverse-engineered round 5 with positional probe frames
+    # — the earlier "last max" rule fit one fixture by accident and
+    # broke on others; this rule fits every probe, incl. the fixture)
     sums = jnp.where(keep, B + G + R, -1).reshape(-1)
-    bi = (sums.shape[0] - 1) - jnp.argmax(sums[::-1])
+    n_px_f1 = sums.shape[0]
+    body_n = (n_px_f1 // 8) * 8
+    rank_np = np.empty(n_px_f1, np.int32)
+    c = 0
+    for lane in range(8):
+        li = np.arange(lane, body_n, 8)
+        rank_np[li] = np.arange(c, c + li.size, dtype=np.int32)
+        c += li.size
+    rank_np[body_n:] = np.arange(c, n_px_f1, dtype=np.int32)
+    rank = jnp.asarray(rank_np)
+    msum = jnp.max(sums)
+    at_max = sums == msum
+    rmin = jnp.min(jnp.where(at_max, rank, jnp.int32(2**31 - 1)))
+    bi = jnp.argmax(at_max & (rank == rmin))
     # fully-saturated frames keep NO pixel: the library's scan never
     # updates and f1 stays at its zero init (oracle-verified); without
     # the guard the reversed argmax would read a saturated pixel. (The

@@ -85,11 +85,12 @@ def test_learned_wb_batched_consistency():
 
 
 def test_learned_brightest_tie_break_regression():
-    """Round-5 fix: the library's brightest-pixel scan updates on >=, so
-    ties at the max B+G+R resolve to the LAST pixel in scan order. This
-    49x550 crop has two max-sum pixels and diverged by up to 6 LSB under
-    the old first-occurrence argmax. Golden generated with the live
-    native xphoto oracle."""
+    """Round-5: this 49x550 crop has two max-sum pixels and diverged by
+    up to 6 LSB under a naive first-occurrence argmax. The real library
+    rule (positional probing): the max scan is an 8-lane SIMD loop over
+    the flattened frame, all first-wins — minimal (flat%8, flat//8)
+    among tied body pixels (here lane 1 beats lane 6, picking the
+    later-raster pixel). Golden from the live native xphoto oracle."""
     import cv2
     import numpy as np
 
