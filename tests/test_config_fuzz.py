@@ -232,3 +232,38 @@ def test_random_config_full_chain(bayer, seed):
     # Every stage is bit-exact vs its cv2 counterpart since round 5
     # (PARITY.md) — randomized stage combinations must be too.
     np.testing.assert_array_equal(got, golden, err_msg=f"seed {seed}")
+
+
+@pytest.mark.parametrize("seed", [90003, 90011])
+def test_simple_wb_chain_interaction(bayer, seed):
+    """Chain-level parity for the `simple` WB method (the randomized
+    fuzz only draws grey_world/pca): demosaic + SimpleWB + gamma at a
+    random crop, bit-exact vs the mirror-composed golden (30-seed
+    round-5 sweep was clean; two seeds pinned here)."""
+    from raw_image_pipeline_tpu.ops.gamma import build_gamma_lut
+    from util_wb import xphoto_simple
+
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(48, bayer.shape[0] + 1))
+    w = int(rng.integers(48, bayer.shape[1] + 1))
+    crop = np.ascontiguousarray(bayer[:h, :w])
+    cfg = PipelineConfig()
+    p = float(rng.choice([0.0, 5.0, 20.0, 45.0]))
+    k = float(rng.uniform(0.5, 1.8))
+    config = PipelineConfig(
+        white_balance=dataclasses.replace(
+            cfg.white_balance, enabled=True, method="simple",
+            clipping_percentile=p),
+        gamma_correction=dataclasses.replace(
+            cfg.gamma_correction, enabled=True, k=k),
+        calibration=dataclasses.replace(
+            load_camera_calibration(DEFAULT_CALIBRATION_PATH),
+            image_width=w, image_height=h),
+    )
+    pipe = build_pipeline(config, "bayer_gbrg8", frame_hw=crop.shape)
+    out, _ = pipe(crop[None])
+    got = np.asarray(out["processed"])[0]
+    img = cv2.cvtColor(cv2.demosaicing(crop, cv2.COLOR_BayerGB2BGR),
+                       cv2.COLOR_RGB2BGR)
+    golden = cv2.LUT(xphoto_simple(img, p), build_gamma_lut(k))
+    np.testing.assert_array_equal(got, golden)
