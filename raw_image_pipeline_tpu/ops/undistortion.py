@@ -435,6 +435,28 @@ def remap_precompute(
 # same fast rate.
 DEFAULT_REMAP_TUNING = (2, 130_000)
 
+# Trace-time tuning resolution (tuning=None in the wrappers): the 2-slot
+# pack halves the pack write at the cost of DOUBLING gather indices — the
+# right trade at throughput batches, the wrong one for single-frame
+# latency where the gather is INDEX-bound (round 3: ~8-9 ns/idx regardless
+# of row bytes). Measured at 1080p B=1 on v5e (round 5, same-process
+# interleaved A/B x2 processes x3 rounds, bit-identical checksums):
+# (4, one-chunk) runs the full chain ~18% faster than (2, 130k)
+# (38.5 vs 46.9 ms in a contended window). The 4-slot form engages only
+# when the flattened source has <= LATENCY_TUNING_MAX_COLS columns
+# (batch*channels — i.e. a single color frame); everything wider keeps the
+# scan-tuned throughput default.
+LATENCY_REMAP_TUNING = (4, 2_100_000)
+LATENCY_TUNING_MAX_COLS = 4
+
+
+def _resolve_tuning(tuning, n_cols: int) -> Tuple[int, int]:
+    if tuning is not None:
+        return tuning
+    if n_cols <= LATENCY_TUNING_MAX_COLS:
+        return LATENCY_REMAP_TUNING
+    return DEFAULT_REMAP_TUNING
+
 # Blend backend selector, same convention as debayer.set_bilinear_impl —
 # but here "auto" resolves to the XLA formulation EVERYWHERE: the XLA
 # blend fuses into the gather kernel (taps never hit HBM) and measures
@@ -455,7 +477,7 @@ def set_remap_blend_impl(impl: str) -> None:
 
 def _remap_rows(arrs, base: jax.Array, weights: jax.Array,
                 h: int, w: int,
-                tuning: Tuple[int, int] = DEFAULT_REMAP_TUNING,
+                tuning: Tuple[int, int] | None = None,
                 blend_impl: str | None = None,
                 mode: str = "lerp") -> jax.Array:
     """Shared gather/blend core.
@@ -476,7 +498,7 @@ def _remap_rows(arrs, base: jax.Array, weights: jax.Array,
     """
     f32 = jnp.float32
     k = arrs[0].shape[1]
-    slots, chunk_size = tuning
+    slots, chunk_size = _resolve_tuning(tuning, k)
 
     # The pack is overlapping slices of ONE zero-padded buffer (rolls
     # lower to wrap-around copies; pad+slice is a straight strided copy);
@@ -658,7 +680,7 @@ def remap_bilinear_u8(
     out_hw: Tuple[int, int],
     src_hw: Tuple[int, int] | None = None,
     batch_minor: bool = False,
-    tuning: Tuple[int, int] = DEFAULT_REMAP_TUNING,
+    tuning: Tuple[int, int] | None = None,
     n_cameras: int = 1,
     blend_impl: str | None = None,
     mode: str = "lerp",
@@ -738,7 +760,7 @@ def remap_bilinear_u8_planes(
     planes, base: jax.Array, weights: jax.Array,
     out_hw: Tuple[int, int],
     src_hw: Tuple[int, int] | None = None,
-    tuning: Tuple[int, int] = DEFAULT_REMAP_TUNING,
+    tuning: Tuple[int, int] | None = None,
     n_cameras: int = 1,
     blend_impl: str | None = None,
     mode: str = "lerp",

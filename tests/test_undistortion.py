@@ -479,3 +479,40 @@ def test_remap_hostile_random_maps_exact(mode):
             remap_bilinear_u8_from_maps(jnp.asarray(img[None]), mx, my,
                                         mode=mode))[0]
         np.testing.assert_array_equal(got, golden, err_msg=f"seed {seed}")
+
+
+def test_auto_tuning_latency_form_bitwise_equal():
+    """tuning=None resolves by flattened source width: a single color frame
+    (3 columns) engages the 4-slot latency form, wider batches keep the
+    2-slot throughput default — and both forms are bit-identical to the
+    cv2 golden and to each other (round-5 B=1 latency finding: the 4-slot
+    pack spends half the gather indices and measured ~18% faster full-chain
+    at B=1 on v5e; see ROADMAP.md)."""
+    import jax.numpy as jnp
+
+    from raw_image_pipeline_tpu.ops.undistortion import (
+        DEFAULT_REMAP_TUNING,
+        LATENCY_REMAP_TUNING,
+        _resolve_tuning,
+        remap_bilinear_u8,
+        remap_precompute,
+    )
+
+    assert _resolve_tuning(None, 3) == LATENCY_REMAP_TUNING
+    assert _resolve_tuning(None, 4) == LATENCY_REMAP_TUNING
+    assert _resolve_tuning(None, 48) == DEFAULT_REMAP_TUNING
+    assert _resolve_tuning((2, 99), 3) == (2, 99)
+
+    rng = np.random.default_rng(77)
+    img = rng.integers(0, 256, (64, 96, 3), np.uint8)
+    mx = rng.uniform(-4, 100, (50, 70)).astype(np.float32)
+    my = rng.uniform(-4, 68, (50, 70)).astype(np.float32)
+    golden = cv2.remap(img, mx, my, cv2.INTER_LINEAR,
+                       borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    base, weights = remap_precompute(mx, my, img.shape[:2])
+    base, weights = jnp.asarray(base), jnp.asarray(weights)
+    for tuning in (None, DEFAULT_REMAP_TUNING, LATENCY_REMAP_TUNING):
+        out = np.asarray(remap_bilinear_u8(
+            img[None], base, weights, (50, 70), img.shape[:2], tuning=tuning
+        ))[0]
+        np.testing.assert_array_equal(out, golden, err_msg=f"tuning {tuning}")
